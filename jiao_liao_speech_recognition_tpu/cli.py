@@ -1,0 +1,137 @@
+"""Command-line interface: train / transcribe / evaluate / featurize / bench.
+
+Replaces the reference's recipe entry scripts + HyperPyYAML CLIs
+(SURVEY.md L6): `python -m jiao_liao_speech_recognition_tpu.cli <cmd>
+--config configs/x.yaml [key.subkey=value ...]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _load_config(args):
+    from .utils.config import ExperimentConfig, apply_overrides, load_yaml
+
+    cfg = load_yaml(args.config) if args.config else ExperimentConfig()
+    if args.override:
+        cfg = apply_overrides(cfg, args.override)
+    return cfg
+
+
+def cmd_train(args) -> int:
+    from .api import fine_tune
+    from .train.schedules import run_stages
+
+    cfg = _load_config(args)
+    if cfg.stages:
+        params, tokenizer, history = run_stages(cfg)
+        for h in history:
+            print(json.dumps(h, ensure_ascii=False))
+        # persist the final bundle
+        from .models.bundle import ModelBundle
+
+        out = Path(cfg.train.checkpoint_dir) / "final"
+        ModelBundle(config=cfg, params=params, tokenizer=tokenizer).save(str(out))
+        print(f"saved final bundle to {out}")
+    else:
+        state, bundle = fine_tune(cfg, resume=args.resume)
+        out = Path(cfg.train.checkpoint_dir) / "final"
+        bundle.save(str(out))
+        print(f"saved final bundle to {out} (step {int(state.step)})")
+    return 0
+
+
+def cmd_transcribe(args) -> int:
+    from .api import load, transcribe
+
+    bundle = load(checkpoint=args.checkpoint, config=args.config)
+    texts = transcribe(bundle, args.audio)
+    for path, text in zip(args.audio, texts):
+        print(json.dumps({"audio": path, "text": text}, ensure_ascii=False))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from .api import load
+    from .data.manifest import read_manifest
+    from .evals import corpus_cer, corpus_wer
+
+    bundle = load(checkpoint=args.checkpoint, config=args.config)
+    manifest = read_manifest(args.manifest)
+    refs, hyps = [], []
+    B = args.batch_size
+    rows = manifest.rows
+    for i in range(0, len(rows), B):
+        chunk = rows[i : i + B]
+        hyps.extend(bundle.transcribe([r.audio for r in chunk]))
+        refs.extend(r.text for r in chunk)
+    result = {
+        "cer": corpus_cer(refs, hyps),
+        "wer": corpus_wer(refs, hyps),
+        "utterances": len(refs),
+    }
+    print(json.dumps(result, ensure_ascii=False))
+    return 0
+
+
+def cmd_featurize(args) -> int:
+    import numpy as np
+
+    from .api import featurize
+
+    feats = featurize(args.audio)
+    out = args.output or (args.audio + ".logmel.npy")
+    np.save(out, np.asarray(feats))
+    print(f"wrote {out} shape={tuple(np.asarray(feats).shape)}")
+    return 0
+
+
+def cmd_build_native(args) -> int:
+    from .utils.native_ext import build_native
+
+    ok = build_native(verbose=True)
+    print("native build:", "ok" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jiao_liao_speech_recognition_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="(adapter) fine-tune / multi-dialect stages")
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument("override", nargs="*", help="key.subkey=value overrides")
+    pt.set_defaults(fn=cmd_train)
+
+    pr = sub.add_parser("transcribe", help="audio file(s) -> text")
+    pr.add_argument("audio", nargs="+")
+    pr.add_argument("--checkpoint")
+    pr.add_argument("--config")
+    pr.set_defaults(fn=cmd_transcribe)
+
+    pe = sub.add_parser("evaluate", help="CER/WER on a manifest")
+    pe.add_argument("--manifest", required=True)
+    pe.add_argument("--checkpoint")
+    pe.add_argument("--config")
+    pe.add_argument("--batch-size", type=int, default=16)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pf = sub.add_parser("featurize", help="audio -> log-mel .npy")
+    pf.add_argument("audio")
+    pf.add_argument("--output")
+    pf.set_defaults(fn=cmd_featurize)
+
+    pn = sub.add_parser("build-native", help="compile C++ host components")
+    pn.set_defaults(fn=cmd_build_native)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,183 @@
+"""Host streaming pipeline: manifest rows -> padded, bucketed device batches.
+
+Replaces the reference's Dataset.map + DataLoader collate (SURVEY.md 3.1):
+featurization happens *on device* per step, so the host only decodes wav and
+pads. Bucket boundaries come from DataConfig; every bucket has one fixed
+(audio_samples, text_len) shape so each bucket compiles exactly once
+(SURVEY §7 hard-part 4). Multi-dialect joint training mixes manifests by
+weight (SURVEY 3.4).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.config import DataConfig
+from .manifest import Manifest, ManifestRow
+from .tokenizer import CharTokenizer
+from ..frontend.audio_io import read_wav
+from ..frontend.resample import resample
+
+
+@dataclass
+class Batch:
+    """Host-side padded batch, ready for device put."""
+
+    audio: np.ndarray  # [B, samples] float32
+    audio_lengths: np.ndarray  # [B] int32 valid samples
+    labels: np.ndarray  # [B, S] int32
+    label_lengths: np.ndarray  # [B] int32
+    texts: List[str]  # raw transcripts (eval)
+    bucket_seconds: float
+
+
+def _bucket_for(duration: float, boundaries: Sequence[float]) -> float:
+    i = bisect.bisect_left(list(boundaries), duration)
+    return boundaries[min(i, len(boundaries) - 1)]
+
+
+class BatchIterator:
+    """Deterministic, resumable batch iterator.
+
+    State = (epoch, cursor into the epoch permutation); save/restore with
+    `state_dict` / `load_state_dict` so checkpoint resume replays exactly
+    (SURVEY §5.3 failure-recovery semantics).
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        tokenizer: CharTokenizer,
+        cfg: DataConfig,
+        sample_rate: int = 16000,
+        drop_last: bool = True,
+        shuffle: bool = True,
+    ):
+        self.rows = list(
+            manifest.filter_duration(cfg.min_audio_seconds, cfg.max_audio_seconds)
+        )
+        if not self.rows:
+            raise ValueError("manifest is empty after duration filtering")
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.sample_rate = sample_rate
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.epoch = 0
+        self.cursor = 0
+
+    # -- checkpointable state ----------------------------------------------
+    def state_dict(self) -> Dict:
+        return {"epoch": self.epoch, "cursor": self.cursor}
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.epoch = int(state["epoch"])
+        self.cursor = int(state["cursor"])
+
+    # -- iteration -----------------------------------------------------------
+    def _epoch_plan(self) -> List[List[int]]:
+        """Deterministic batch plan for the current epoch: shuffle rows,
+        group by duration bucket, cut fixed-size batches per bucket, shuffle
+        the batch order. Fully reproducible from (seed, epoch)."""
+        rng = np.random.RandomState(self.cfg.shuffle_seed + self.epoch)
+        order = rng.permutation(len(self.rows)) if self.shuffle else np.arange(len(self.rows))
+        by_bucket: Dict[float, List[int]] = {}
+        for i in order:
+            b = _bucket_for(
+                self.rows[i].duration or self.cfg.max_audio_seconds,
+                self.cfg.bucket_boundaries_seconds,
+            )
+            by_bucket.setdefault(b, []).append(int(i))
+        batches: List[List[int]] = []
+        for b in sorted(by_bucket):
+            idxs = by_bucket[b]
+            for k in range(0, len(idxs), self.cfg.batch_size):
+                chunk = idxs[k : k + self.cfg.batch_size]
+                if len(chunk) == self.cfg.batch_size or not self.drop_last:
+                    batches.append(chunk)
+        if not batches:  # tiny corpus: fall back to one partial batch
+            batches = [list(order[: self.cfg.batch_size])]
+        if self.shuffle:
+            rng.shuffle(batches)
+        return batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        plan = self._epoch_plan()
+        if self.cursor >= len(plan):
+            self.epoch += 1
+            self.cursor = 0
+            plan = self._epoch_plan()
+        idxs = plan[self.cursor]
+        self.cursor += 1
+        rows = [self.rows[i] for i in idxs]
+        bucket = max(
+            _bucket_for(
+                r.duration or self.cfg.max_audio_seconds,
+                self.cfg.bucket_boundaries_seconds,
+            )
+            for r in rows
+        )
+        return self._collate(rows, bucket)
+
+    def _collate(self, rows: List[ManifestRow], bucket_seconds: float) -> Batch:
+        samples = int(bucket_seconds * self.sample_rate)
+        B = len(rows)
+        audio = np.zeros((B, samples), np.float32)
+        alen = np.zeros((B,), np.int32)
+        labels = np.zeros((B, self.cfg.max_text_len), np.int32)
+        llen = np.zeros((B,), np.int32)
+        texts = []
+        for i, r in enumerate(rows):
+            pcm, sr = read_wav(r.audio)
+            if sr != self.sample_rate:
+                import jax.numpy as jnp
+
+                pcm = np.asarray(resample(jnp.asarray(pcm), sr, self.sample_rate))
+            m = min(len(pcm), samples)
+            audio[i, :m] = pcm[:m]
+            alen[i] = m
+            ids = self.tokenizer.encode(r.text)[: self.cfg.max_text_len]
+            labels[i, : len(ids)] = ids
+            llen[i] = len(ids)
+            texts.append(r.text)
+        return Batch(audio, alen, labels, llen, texts, bucket_seconds)
+
+
+def make_batches(
+    manifest: Manifest,
+    tokenizer: CharTokenizer,
+    cfg: DataConfig,
+    num_batches: int,
+    **kw,
+) -> List[Batch]:
+    """Materialize a fixed number of batches (tests / tiny corpora)."""
+    it = BatchIterator(manifest, tokenizer, cfg, **kw)
+    return [next(it) for _ in range(num_batches)]
+
+
+def mix_manifests(
+    manifests: Dict[str, Manifest], weights: Optional[Dict[str, float]] = None,
+    seed: int = 0,
+) -> Manifest:
+    """Joint multi-dialect mixture: weighted sampling with replacement to the
+    size of the largest corpus (SURVEY 3.4 joint schedule)."""
+    names = sorted(manifests)
+    if weights is None:
+        weights = {n: 1.0 for n in names}
+    rng = np.random.RandomState(seed)
+    target = max(len(manifests[n]) for n in names)
+    out: List[ManifestRow] = []
+    probs = np.array([weights.get(n, 1.0) for n in names], np.float64)
+    probs /= probs.sum()
+    for _ in range(target * len(names)):
+        n = names[rng.choice(len(names), p=probs)]
+        rows = manifests[n].rows
+        out.append(rows[rng.randint(len(rows))])
+    return Manifest(out)

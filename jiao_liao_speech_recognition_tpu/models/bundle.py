@@ -1,0 +1,173 @@
+"""ModelBundle: config + params + tokenizer, the object behind api.load().
+
+Mirrors the reference's (model, processor) pair from HF from_pretrained
+(SURVEY.md 3.2) as one explicit value. Transcription runs the BASELINE
+configs[0-1] stacks: featurize on device -> encoder -> CTC greedy / prefix
+beam (or Whisper AR generate for the whisper family).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import (
+    CTCModelConfig,
+    DecodeConfig,
+    ExperimentConfig,
+    FrontendConfig,
+    from_dict,
+    load_yaml,
+    to_dict,
+)
+from ..data.tokenizer import CharTokenizer
+from ..frontend import audio_io, features, resample
+from ..decode.ctc import ctc_greedy_decode, ctc_prefix_beam_search, ids_to_texts
+
+
+@dataclass
+class ModelBundle:
+    config: ExperimentConfig
+    params: Any
+    tokenizer: Any
+    _jitted_encode: Any = field(default=None, repr=False)
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def load(
+        cls,
+        checkpoint: Optional[str] = None,
+        config: Optional[Union[str, ExperimentConfig]] = None,
+        tokenizer: Optional[Any] = None,
+    ) -> "ModelBundle":
+        if isinstance(config, str):
+            config = load_yaml(config)
+        if checkpoint is not None:
+            ckpt = Path(checkpoint)
+            if ckpt.is_dir() and (ckpt / "config.yaml").exists():
+                config = load_yaml(str(ckpt / "config.yaml"))
+            if config is None:
+                raise ValueError("checkpoint without config.yaml needs explicit config")
+            params = cls._load_params(ckpt, config)
+            if tokenizer is None and ckpt.is_dir() and (ckpt / "vocab.json").exists():
+                tokenizer = CharTokenizer.load(ckpt / "vocab.json")
+        else:
+            if config is None:
+                config = ExperimentConfig()
+            params = cls._init_params(config)
+        if tokenizer is None:
+            tokenizer = CharTokenizer([])  # blank+unk only; tests override
+        return cls(config=config, params=params, tokenizer=tokenizer)
+
+    @staticmethod
+    def _model(config: ExperimentConfig):
+        if config.model_family == "ctc":
+            from .ctc_model import CTCEncoderModel
+
+            return CTCEncoderModel(config.ctc_model)
+        elif config.model_family == "whisper":
+            from .whisper import WhisperModel
+
+            return WhisperModel(config.whisper)
+        raise ValueError(f"unknown model family {config.model_family!r}")
+
+    @classmethod
+    def _init_params(cls, config: ExperimentConfig, seed: int = 0):
+        model = cls._model(config)
+        fe = config.frontend
+        if config.model_family == "ctc":
+            dummy = jnp.zeros((1, fe.num_mels, 256), jnp.float32)
+            return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+        dummy_mel = jnp.zeros((1, config.whisper.num_mels, 256), jnp.float32)
+        dummy_tok = jnp.zeros((1, 8), jnp.int32)
+        return model.init(jax.random.PRNGKey(seed), dummy_mel, dummy_tok)["params"]
+
+    @classmethod
+    def _load_params(cls, ckpt: Path, config: ExperimentConfig):
+        from ..train.checkpoints import restore_params
+
+        return restore_params(str(ckpt), cls._init_params(config))
+
+    def save(self, path: str) -> None:
+        from ..train.checkpoints import save_params
+        from ..utils.config import save_yaml
+
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        save_yaml(self.config, str(p / "config.yaml"))
+        if hasattr(self.tokenizer, "save"):
+            self.tokenizer.save(p / "vocab.json")
+        save_params(str(p), self.params)
+
+    # ------------------------------------------------------------- inference
+    def encode(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
+        """[B, mels, T] -> (log_probs, lengths) via the jitted encoder."""
+        if self._jitted_encode is None:
+            model = self._model(self.config)
+
+            @jax.jit
+            def _enc(params, f, fl):
+                return model.apply({"params": params}, f, fl, deterministic=True)
+
+            object.__setattr__(self, "_jitted_encode", _enc)
+        return self._jitted_encode(self.params, feats, feat_lengths)
+
+    def transcribe(
+        self,
+        audio: Union[str, np.ndarray, Sequence],
+        sample_rate: Optional[int] = None,
+        decode_cfg: Optional[DecodeConfig] = None,
+    ) -> List[str]:
+        decode_cfg = decode_cfg or self.config.decode
+        fe = self.config.frontend
+        wavs, alens = self._prepare_audio(audio, sample_rate)
+        feats = features.featurize_batch(jnp.asarray(wavs), fe)
+        flens = jnp.asarray(alens // fe.hop_length, dtype=jnp.int32)
+        if self.config.model_family == "whisper":
+            from ..decode.whisper_generate import generate
+
+            ids, lens = generate(self, feats, decode_cfg)
+            return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+        log_probs, out_lens = self.encode(feats, flens)
+        if decode_cfg.strategy == "beam":
+            ids, lens = ctc_prefix_beam_search(
+                log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id
+            )
+        else:
+            ids, lens = ctc_greedy_decode(log_probs, out_lens, decode_cfg.ctc_blank_id)
+        return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+
+    def _prepare_audio(self, audio, sample_rate):
+        fe = self.config.frontend
+        if isinstance(audio, (str, Path)):
+            pcm, sr = audio_io.read_wav(audio)
+            audios, sample_rate = [pcm], sr
+        elif isinstance(audio, np.ndarray) and audio.ndim == 1:
+            audios = [audio]
+        elif isinstance(audio, np.ndarray):
+            audios = list(audio)
+        else:
+            audios = []
+            for a in audio:
+                if isinstance(a, (str, Path)):
+                    pcm, sr = audio_io.read_wav(a)
+                    audios.append(pcm)
+                    sample_rate = sr
+                else:
+                    audios.append(np.asarray(a, np.float32))
+        if sample_rate is not None and sample_rate != fe.sample_rate:
+            audios = [
+                np.asarray(resample.resample(jnp.asarray(a), sample_rate, fe.sample_rate))
+                for a in audios
+            ]
+        batch = np.stack([features.pad_or_trim(a, fe) for a in audios])
+        lens = np.asarray(
+            [min(len(a), batch.shape[1]) for a in audios], dtype=np.int32
+        )
+        return batch, lens

@@ -1,0 +1,92 @@
+"""Conv-subsampled transformer encoder with CTC head — the flagship model.
+
+TPU-native counterpart of the reference's SpeechBrain-style transformer-CTC
+acoustic model (SURVEY.md C8; BASELINE configs[0-1]): two stride-2 1-D convs
+subsample the 100 Hz log-mel frames 4x (3000 -> 750 positions at 30 s), then
+a pre-LN transformer encoder and a linear CTC head over the character vocab.
+Adapters (WFAdapter / AttAdapter / bottleneck) inject per AdapterConfig.
+
+Design: bf16 compute on the MXU, f32 params and logits; optional
+jax.checkpoint on blocks for long-schedule fine-tunes; all shapes static
+(padded/bucketed inputs, lengths carried separately).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import CTCModelConfig
+from .layers import TransformerBlock, length_mask, sinusoidal_positions
+
+
+class ConvSubsampler(nn.Module):
+    """Two stride-2 Conv1d + GELU: [B, T, mels] -> [B, T//4, d_model]."""
+
+    d_model: int
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.channels, (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.d_model, (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype, name="conv2")(x)
+        return nn.gelu(x, approximate=False)
+
+
+class CTCEncoderModel(nn.Module):
+    """Returns (log_probs [B, T', V] float32, output lengths [B])."""
+
+    cfg: CTCModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # [B, num_mels, T] log-mel
+        feature_lengths: Optional[jnp.ndarray] = None,  # [B] valid frames
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        B, M, T = features.shape
+        if feature_lengths is None:
+            feature_lengths = jnp.full((B,), T, dtype=jnp.int32)
+
+        x = features.transpose(0, 2, 1).astype(dtype)  # [B, T, M]
+        x = ConvSubsampler(cfg.d_model, cfg.conv_channels, dtype, name="subsample")(x)
+        t_out = x.shape[1]
+        # ceil-division length propagation through two stride-2 convs (pad=1)
+        out_lengths = (feature_lengths + 1) // 2
+        out_lengths = (out_lengths + 1) // 2
+
+        x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None, :, :]
+        if cfg.dropout > 0:
+            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        mask = length_mask(out_lengths, t_out)  # [B,1,1,T']
+        block = TransformerBlock
+        for i in range(cfg.num_layers):
+            layer = block(
+                cfg.d_model,
+                cfg.num_heads,
+                cfg.mlp_dim,
+                dtype,
+                cfg.dropout,
+                cfg.adapter if cfg.adapter.kind != "none" else None,
+                cfg.use_flash_attention,
+                name=f"block_{i}",
+            )
+            x = layer(x, mask=mask, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(x)
+        logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32, name="ctc_head")(
+            x.astype(jnp.float32)
+        )
+        # zero out padded positions' contribution downstream via lengths;
+        # log-softmax in f32 (CTC loss numerics, SURVEY §7 hard-part 2)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, out_lengths

@@ -1,0 +1,215 @@
+"""Shared transformer building blocks (Flax), TPU-first conventions:
+
+* params float32, compute bfloat16 (MXU-native), logits float32
+* pre-LN residual blocks (matches both Whisper and SB transformer recipes)
+* attention dispatches to the Pallas flash-attention kernel on TPU and to a
+  fused-by-XLA einsum path elsewhere
+* static shapes everywhere; padding communicated via boolean masks
+
+Reference parity targets: WhisperEncoder/Decoder block structure
+(SURVEY.md C7) and SpeechBrain TransformerASR encoder (SURVEY.md C8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import AdapterConfig
+from .adapters import AdapterSlot, WFDense
+
+
+def sinusoidal_positions(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Standard interleaved sin/cos table [length, dim] (Whisper layout:
+    first half sin, second half cos)."""
+    assert dim % 2 == 0
+    log_timescale = np.log(10000.0) / (dim // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(dim // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return jnp.asarray(
+        np.concatenate([np.sin(t), np.cos(t)], axis=1), dtype=dtype
+    )
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """[B, T, H, Dh] attention. mask: broadcastable to [B, H, Tq, Tk], True =
+    attend. Softmax in f32 for stability regardless of compute dtype."""
+    if use_flash and jax.default_backend() == "tpu":
+        from ..ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, mask)
+        except NotImplementedError:
+            pass
+    dtype = q.dtype
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(
+        dtype
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with optional cross-attention inputs and KV-cache decode step.
+
+    Bias conventions are Whisper's (q/out/v biased, k unbiased) so imported
+    reference weights map 1:1; harmless for from-scratch CTC training.
+    """
+
+    num_heads: int
+    d_model: int
+    dtype: jnp.dtype = jnp.bfloat16
+    dropout: float = 0.0
+    adapter: Optional[AdapterConfig] = None
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        kv_cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        dh = self.d_model // self.num_heads
+        kv_in = x if kv is None else kv
+        wf = self.adapter if (self.adapter and self.adapter.kind == "wf") else None
+        q = WFDense(self.d_model, wf, self.dtype, name="q_proj")(x)
+        new_cache = None
+        if kv_cache is not None and kv is not None:
+            # cross-attention during decode: reuse precomputed encoder K/V
+            k, v = kv_cache["k"], kv_cache["v"]
+            new_cache = kv_cache
+        else:
+            k = WFDense(self.d_model, wf, self.dtype, use_bias=False, name="k_proj")(kv_in)
+            v = WFDense(self.d_model, wf, self.dtype, name="v_proj")(kv_in)
+            if kv_cache is not None:
+                # self-attention decode step: write k/v at cache_index
+                k = jax.lax.dynamic_update_slice(
+                    kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0)
+                )
+                new_cache = {"k": k, "v": v}
+        B, Tq = q.shape[0], q.shape[1]
+        Tk = k.shape[1]
+        qh = q.reshape(B, Tq, self.num_heads, dh)
+        kh = k.reshape(B, Tk, self.num_heads, dh)
+        vh = v.reshape(B, Tk, self.num_heads, dh)
+        out = dot_product_attention(qh, kh, vh, mask, use_flash=self.use_flash)
+        out = out.reshape(B, Tq, self.d_model)
+        out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if new_cache is not None:
+            return out, new_cache
+        return out
+
+
+class MLP(nn.Module):
+    d_model: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    dropout: float = 0.0
+    adapter: Optional[AdapterConfig] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        wf = self.adapter if (self.adapter and self.adapter.kind == "wf") else None
+        h = WFDense(self.mlp_dim, wf, self.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return WFDense(self.d_model, wf, self.dtype, name="fc2")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block with adapter slots after attention and MLP sublayers."""
+
+    d_model: int
+    num_heads: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    dropout: float = 0.0
+    adapter: Optional[AdapterConfig] = None
+    use_flash: bool = False
+    cross_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        enc: Optional[jnp.ndarray] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        self_cache: Optional[dict] = None,
+        cross_cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        ad = self.adapter or AdapterConfig()
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_ln")(x)
+        attn_out = MultiHeadAttention(
+            self.num_heads,
+            self.d_model,
+            self.dtype,
+            self.dropout,
+            self.adapter,
+            self.use_flash,
+            name="self_attn",
+        )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache, cache_index=cache_index)
+        if self_cache is not None:
+            attn_out, self_cache = attn_out
+        x = x + attn_out
+        if ad.kind != "none" and ad.after_attention:
+            x = AdapterSlot(ad, self.dtype, name="post_attn_slot")(
+                x, mask=mask, deterministic=deterministic
+            )
+        if self.cross_attention:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cross_attn_ln")(x)
+            cross_out = MultiHeadAttention(
+                self.num_heads,
+                self.d_model,
+                self.dtype,
+                self.dropout,
+                self.adapter,
+                self.use_flash,
+                name="cross_attn",
+            )(h, kv=enc, mask=enc_mask, deterministic=deterministic, kv_cache=cross_cache)
+            if cross_cache is not None:
+                cross_out, cross_cache = cross_out
+            x = x + cross_out
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_ln")(x)
+        x = x + MLP(
+            self.d_model, self.mlp_dim, self.dtype, self.dropout, self.adapter, name="mlp"
+        )(h, deterministic=deterministic)
+        if ad.kind != "none" and ad.after_mlp:
+            x = AdapterSlot(ad, self.dtype, name="post_mlp_slot")(
+                x, mask=mask, deterministic=deterministic
+            )
+        if self_cache is not None or cross_cache is not None:
+            return x, self_cache, cross_cache
+        return x
+
+
+def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths -> [B, 1, 1, max_len] attention mask (True = valid)."""
+    valid = jnp.arange(max_len)[None, :] < lengths[:, None]
+    return valid[:, None, None, :]

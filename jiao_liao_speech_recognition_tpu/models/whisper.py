@@ -1,0 +1,186 @@
+"""Whisper encoder-decoder backbone in Flax (SURVEY.md C7).
+
+Structure matches the reference's transformers WhisperForConditionalGeneration
+(verified in SURVEY: encoder = Conv1d(k3,p1) + Conv1d(k3,s2,p1) subsample ->
+3000->1500 positions, fixed sinusoidal encoder positions, pre-LN blocks;
+decoder = learned positions, causal self-attn + cross-attn blocks; logits
+tied to the token embedding). Weight import from HF safetensors lives in
+whisper_import.py; adapters inject exactly as in the CTC backbone.
+
+TPU design: bf16 compute, KV caches laid out [B, T_max, d_model] and updated
+with dynamic_update_slice inside a lax.while_loop decode (no per-step host
+sync — SURVEY §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import WhisperConfig
+from .layers import MultiHeadAttention, TransformerBlock, length_mask, sinusoidal_positions
+
+
+class WhisperEncoder(nn.Module):
+    cfg: WhisperConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        mel: jnp.ndarray,  # [B, num_mels, T]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        x = mel.transpose(0, 2, 1).astype(dtype)  # [B, T, M]
+        x = nn.Conv(cfg.d_model, (3,), padding=((1, 1),), dtype=dtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(cfg.d_model, (3,), strides=(2,), padding=((1, 1),), dtype=dtype, name="conv2")(x)
+        x = nn.gelu(x, approximate=False)
+        t = x.shape[1]
+        x = x + sinusoidal_positions(t, cfg.d_model, dtype)[None]
+        ad = cfg.adapter if cfg.adapter.kind != "none" else None
+        for i in range(cfg.encoder_layers):
+            x = TransformerBlock(
+                cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
+                ad, cfg.use_flash_attention, name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="ln_post")(x)
+
+
+class WhisperDecoder(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dtype, name="embed_tokens")
+        self.embed_positions = self.param(
+            "embed_positions",
+            nn.initializers.normal(0.02),
+            (cfg.max_target_positions, cfg.d_model),
+            jnp.float32,
+        )
+        ad = cfg.adapter if cfg.adapter.kind != "none" else None
+        self.blocks = [
+            TransformerBlock(
+                cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
+                ad, cfg.use_flash_attention, cross_attention=True, name=f"block_{i}",
+            )
+            for i in range(cfg.decoder_layers)
+        ]
+        self.ln = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="ln")
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,  # [B, S]
+        enc: jnp.ndarray,  # [B, T, d]
+        enc_lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        B, S = tokens.shape
+        x = self.embed_tokens(tokens)
+        x = x + self.embed_positions[:S].astype(dtype)[None]
+        causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
+        enc_mask = (
+            length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None
+        )
+        for blk in self.blocks:
+            x = blk(x, mask=causal, enc=enc, enc_mask=enc_mask, deterministic=deterministic)
+        x = self.ln(x)
+        # tied output projection (Whisper convention)
+        logits = self.embed_tokens.attend(x.astype(jnp.float32))
+        return logits
+
+    # ---------------------------------------------------------------- decode
+    def init_cache(self, batch: int, enc: jnp.ndarray) -> Dict:
+        """Build per-layer KV caches: self caches [B, max_target, d] zeros,
+        cross caches precomputed from encoder output."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        caches = {}
+        for i, blk in enumerate(self.blocks):
+            # precompute cross K/V with the block's cross_attn params
+            name = f"block_{i}"
+            caches[name] = {
+                "self": {
+                    "k": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
+                    "v": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
+                },
+            }
+        return caches
+
+    def decode_step(
+        self,
+        token: jnp.ndarray,  # [B, 1]
+        pos: jnp.ndarray,  # scalar int32 position
+        enc: jnp.ndarray,
+        caches: Dict,
+        enc_lengths: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        x = self.embed_tokens(token)
+        x = x + jax.lax.dynamic_slice(
+            self.embed_positions, (pos, 0), (1, cfg.d_model)
+        ).astype(dtype)[None]
+        # mask: keys 0..pos valid
+        kmask = (
+            jnp.arange(cfg.max_target_positions)[None, None, None, :] <= pos
+        )
+        enc_mask = (
+            length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None
+        )
+        new_caches = {}
+        for i, blk in enumerate(self.blocks):
+            name = f"block_{i}"
+            x, self_c, _ = blk(
+                x,
+                mask=kmask,
+                enc=enc,
+                enc_mask=enc_mask,
+                deterministic=True,
+                self_cache=caches[name]["self"],
+                cache_index=pos,
+            )
+            new_caches[name] = {"self": self_c}
+        x = self.ln(x)
+        logits = self.embed_tokens.attend(x.astype(jnp.float32))
+        return logits[:, 0], new_caches
+
+
+class WhisperModel(nn.Module):
+    """Teacher-forced forward: (mel, tokens) -> logits [B, S, V]."""
+
+    cfg: WhisperConfig
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.cfg, name="encoder")
+        self.decoder = WhisperDecoder(self.cfg, name="decoder")
+
+    def __call__(
+        self,
+        mel: jnp.ndarray,
+        tokens: jnp.ndarray,
+        enc_lengths: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        enc = self.encoder(mel, deterministic=deterministic)
+        return self.decoder(tokens, enc, enc_lengths, deterministic=deterministic)
+
+    def encode(self, mel: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.encoder(mel, deterministic=deterministic)
+
+    def decode(self, tokens, enc, enc_lengths=None, deterministic: bool = True):
+        return self.decoder(tokens, enc, enc_lengths, deterministic=deterministic)
+
+    def decode_step(self, token, pos, enc, caches, enc_lengths=None):
+        return self.decoder.decode_step(token, pos, enc, caches, enc_lengths)
+
+    def init_cache(self, batch: int, enc: jnp.ndarray) -> Dict:
+        return self.decoder.init_cache(batch, enc)

@@ -1,0 +1,179 @@
+"""Import reference Whisper weights from HF safetensors checkpoints.
+
+The reference stores weights in safetensors / HF hub layout
+(/root/reference/requirements.txt:61,23; SURVEY.md C18/N11). This module
+contains (a) a from-scratch pure-numpy safetensors reader — the format is an
+8-byte little-endian header length, a JSON tensor index {name: {dtype,
+shape, data_offsets}}, then raw row-major buffers — and (b) the name/layout
+mapping from transformers WhisperForConditionalGeneration state dicts onto
+this framework's Flax tree (torch [out,in] linears transpose to [in,out]
+kernels; conv [out,in,k] -> [k,in,out]).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "BF16": None,  # handled specially below
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+
+
+def read_safetensors(path: str | Path) -> Dict[str, np.ndarray]:
+    """Read a .safetensors file into {name: numpy array} without any
+    third-party dependency. bfloat16 tensors are upcast to float32."""
+    raw = Path(path).read_bytes()
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    header = json.loads(raw[8 : 8 + hlen].decode("utf-8"))
+    base = 8 + hlen
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        buf = raw[base + start : base + end]
+        shape = meta["shape"]
+        dt = meta["dtype"]
+        if dt == "BF16":
+            u16 = np.frombuffer(buf, dtype=np.uint16)
+            u32 = u16.astype(np.uint32) << 16
+            arr = u32.view(np.float32)
+        else:
+            arr = np.frombuffer(buf, dtype=_DTYPES[dt])
+        out[name] = arr.reshape(shape).copy()
+    return out
+
+
+def write_safetensors(path: str | Path, tensors: Dict[str, np.ndarray]) -> None:
+    """Minimal safetensors writer (export / test fixtures)."""
+    header: Dict[str, Any] = {}
+    bufs = []
+    offset = 0
+    dmap = {v: k for k, v in _DTYPES.items() if v is not None}
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        b = arr.tobytes()
+        header[name] = {
+            "dtype": dmap[arr.dtype.type],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(b)],
+        }
+        bufs.append(b)
+        offset += len(b)
+    hjson = json.dumps(header).encode("utf-8")
+    pad = (8 - len(hjson) % 8) % 8
+    hjson += b" " * pad
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<Q", len(hjson)))
+        fh.write(hjson)
+        for b in bufs:
+            fh.write(b)
+
+
+# ---------------------------------------------------------------------------
+# HF Whisper -> Flax tree mapping
+# ---------------------------------------------------------------------------
+
+
+def _linear(sd, prefix, has_bias=True):
+    out = {"dense": {"kernel": sd[f"{prefix}.weight"].T}}
+    if has_bias and f"{prefix}.bias" in sd:
+        out["dense"]["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _attn(sd, prefix):
+    return {
+        "q_proj": _linear(sd, f"{prefix}.q_proj"),
+        "k_proj": _linear(sd, f"{prefix}.k_proj", has_bias=False),
+        "v_proj": _linear(sd, f"{prefix}.v_proj"),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _block(sd, prefix, cross: bool):
+    blk = {
+        "self_attn": _attn(sd, f"{prefix}.self_attn"),
+        "self_attn_ln": _ln(sd, f"{prefix}.self_attn_layer_norm"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.fc1"),
+            "fc2": _linear(sd, f"{prefix}.fc2"),
+        },
+        "mlp_ln": _ln(sd, f"{prefix}.final_layer_norm"),
+    }
+    if cross:
+        blk["cross_attn"] = _attn(sd, f"{prefix}.encoder_attn")
+        blk["cross_attn_ln"] = _ln(sd, f"{prefix}.encoder_attn_layer_norm")
+    return blk
+
+
+def hf_state_dict_to_flax(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Map a transformers Whisper state dict onto the WhisperModel tree.
+
+    Accepts both `model.encoder...` (WhisperForConditionalGeneration) and
+    `encoder...` (WhisperModel) key styles.
+    """
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
+
+    enc: Dict[str, Any] = {
+        "conv1": {
+            "kernel": sd["encoder.conv1.weight"].transpose(2, 1, 0),
+            "bias": sd["encoder.conv1.bias"],
+        },
+        "conv2": {
+            "kernel": sd["encoder.conv2.weight"].transpose(2, 1, 0),
+            "bias": sd["encoder.conv2.bias"],
+        },
+        "ln_post": _ln(sd, "encoder.layer_norm"),
+    }
+    for i in range(cfg.encoder_layers):
+        enc[f"block_{i}"] = _block(sd, f"encoder.layers.{i}", cross=False)
+
+    dec: Dict[str, Any] = {
+        "embed_tokens": {"embedding": sd["decoder.embed_tokens.weight"]},
+        "embed_positions": sd["decoder.embed_positions.weight"],
+        "ln": _ln(sd, "decoder.layer_norm"),
+    }
+    for i in range(cfg.decoder_layers):
+        dec[f"block_{i}"] = _block(sd, f"decoder.layers.{i}", cross=True)
+
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_hf_whisper(path: str | Path, cfg) -> Dict:
+    """Load an HF Whisper checkpoint directory or .safetensors file into a
+    Flax param tree matching models.whisper.WhisperModel."""
+    p = Path(path)
+    if p.is_dir():
+        files = sorted(p.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no .safetensors under {p}")
+        sd: Dict[str, np.ndarray] = {}
+        for f in files:
+            sd.update(read_safetensors(f))
+    else:
+        sd = read_safetensors(p)
+    import jax.numpy as jnp
+    import jax
+
+    tree = hf_state_dict_to_flax(sd, cfg)
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), tree)

@@ -1,0 +1,293 @@
+"""Fine-tuning engine: optax + frozen-backbone masking + pjit sharding.
+
+TPU-native replacement for the reference's accelerate/Trainer/Brain loop
+(SURVEY.md 3.1 call stack). Key differences by design:
+
+* featurization happens INSIDE the jitted train step (waveform -> log-mel ->
+  SpecAugment on device), eliminating the reference's CPU .map() bottleneck
+  (BASELINE north_star: "on-TPU featurization")
+* gradient all-reduce is not a DDP wrapper: the batch is sharded over the
+  mesh 'data' axis and XLA inserts the psum during pjit partitioning
+* frozen backbone = optax.masked updates from the adapter param mask —
+  matches the reference's requires_grad masking (SURVEY 3.1) but keeps one
+  compiled step for both phases
+* grad accumulation folds into optax.MultiSteps; AMP is bf16 compute dtype
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..utils.config import ExperimentConfig, OptimizerConfig, TrainConfig
+from ..utils.logging import MetricsLogger
+from ..models.adapters import param_is_adapter
+from ..ops.ctc_loss import ctc_loss
+from ..frontend.features import log_mel_spectrogram
+from ..frontend.specaugment import spec_augment
+from ..frontend.augment import augment_waveform
+from ..parallel.mesh import build_mesh, batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+
+def make_schedule(cfg: OptimizerConfig):
+    if cfg.schedule == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.schedule == "noam":
+        return lambda step: cfg.learning_rate * jnp.minimum(
+            (step + 1.0) ** -0.5, (step + 1.0) * cfg.warmup_steps**-1.5
+        ) * cfg.warmup_steps**0.5
+    warmup = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+    rest = max(cfg.total_steps - cfg.warmup_steps, 1)
+    if cfg.schedule == "cosine":
+        decay = optax.cosine_decay_schedule(cfg.learning_rate, rest)
+    else:  # linear
+        decay = optax.linear_schedule(cfg.learning_rate, 0.0, rest)
+    return optax.join_schedules([warmup, decay], [cfg.warmup_steps])
+
+
+def adapter_mask(params: Any) -> Any:
+    """True for trainable (adapter) leaves, False for frozen backbone."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_adapter_path(kp):
+        return param_is_adapter(
+            tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        )
+
+    return jax.tree_util.tree_map_with_path(lambda kp, _: is_adapter_path(kp), params)
+
+
+def make_optimizer(cfg: OptimizerConfig, trainable_mask: Optional[Any] = None):
+    sched = make_schedule(cfg)
+    if cfg.name == "adamw":
+        base = optax.adamw(
+            sched, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay
+        )
+    elif cfg.name == "adam":
+        base = optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+    elif cfg.name == "sgd":
+        base = optax.sgd(sched, momentum=cfg.beta1)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name!r}")
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), base)
+    if trainable_mask is not None:
+        # frozen-backbone semantics: trainable leaves get the optimizer,
+        # frozen leaves get update 0 (optax.masked alone would pass raw
+        # gradients through for unmasked leaves)
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Loss / step construction
+# ---------------------------------------------------------------------------
+
+
+def make_ctc_loss_fn(config: ExperimentConfig, model) -> Callable:
+    fe = config.frontend
+
+    def loss_fn(params, batch, rng, train: bool):
+        audio = batch["audio"]
+        k_aug, k_spec, k_drop = jax.random.split(rng, 3)
+        if train and config.augment.enabled:
+            audio = augment_waveform(k_aug, audio, config.augment)
+        feats = log_mel_spectrogram(audio, fe)
+        feat_lengths = batch["audio_lengths"] // fe.hop_length
+        if train and config.specaugment.enabled:
+            feats = spec_augment(k_spec, feats, config.specaugment)
+        log_probs, out_lens = model.apply(
+            {"params": params},
+            feats,
+            feat_lengths,
+            deterministic=not train,
+            rngs={"dropout": k_drop} if train else {},
+        )
+        nll = ctc_loss(
+            log_probs, out_lens, batch["labels"], batch["label_lengths"]
+        )
+        denom = jnp.maximum(batch["label_lengths"], 1).astype(jnp.float32)
+        loss = jnp.mean(nll / denom)
+        return loss, {"loss": loss, "nll_sum": jnp.sum(nll)}
+
+    return loss_fn
+
+
+def make_whisper_loss_fn(config: ExperimentConfig, model) -> Callable:
+    fe = config.frontend
+
+    def loss_fn(params, batch, rng, train: bool):
+        k_spec, k_drop = jax.random.split(rng)
+        feats = log_mel_spectrogram(batch["audio"], fe)
+        if train and config.specaugment.enabled:
+            feats = spec_augment(k_spec, feats, config.specaugment)
+        tokens = batch["tokens"]  # [B, S] with prompt prefix
+        targets = batch["targets"]  # [B, S] next-token ids, -100 = ignore
+        logits = model.apply(
+            {"params": params},
+            feats,
+            tokens,
+            deterministic=not train,
+            rngs={"dropout": k_drop} if train else {},
+        )
+        valid = targets >= 0
+        tsafe = jnp.maximum(targets, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, tsafe)
+        loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        return loss, {"loss": loss}
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, tx) -> Callable:
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, batch, step_rng, True)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        metrics = dict(metrics, grad_norm=gnorm)
+        return new_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Experiment runner
+# ---------------------------------------------------------------------------
+
+
+def build_train_setup(config: ExperimentConfig, params, mesh=None):
+    """(model, loss_fn, tx, jitted step with shardings)."""
+    from ..models.bundle import ModelBundle
+
+    model = ModelBundle._model(config)
+    if config.model_family == "ctc":
+        loss_fn = make_ctc_loss_fn(config, model)
+    else:
+        loss_fn = make_whisper_loss_fn(config, model)
+    mask = adapter_mask(params) if config.train.train_adapters_only else None
+    tx = make_optimizer(config.train.optimizer, mask)
+    step_fn = make_train_step(loss_fn, tx)
+
+    # Sharding is carried by the *inputs* (modern jax.jit semantics): the
+    # caller device_puts the batch with batch_sharding(mesh) and the state
+    # replicated or fsdp-sharded (parallel.mesh.param_sharding); XLA then
+    # partitions the step and inserts the gradient psum over 'data' — the
+    # reference's DDP all-reduce with zero framework code (SURVEY C19).
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return model, loss_fn, tx, jitted
+
+
+def init_state(config: ExperimentConfig, tx, params, seed: int = 0) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def batch_to_device(batch, tokenizer=None, family: str = "ctc", whisper_prompt=None):
+    """Host Batch dataclass -> dict of device arrays for the step fn."""
+    out = {
+        "audio": jnp.asarray(batch.audio),
+        "audio_lengths": jnp.asarray(batch.audio_lengths),
+        "labels": jnp.asarray(batch.labels),
+        "label_lengths": jnp.asarray(batch.label_lengths),
+    }
+    if family == "whisper":
+        from ..decode.whisper_generate import EOT
+
+        prompt = list(whisper_prompt or ())
+        B, S = batch.labels.shape
+        P = len(prompt)
+        toks = np.full((B, P + S + 1), EOT, np.int32)
+        tgts = np.full((B, P + S + 1), -100, np.int32)
+        toks[:, :P] = prompt
+        for i in range(B):
+            n = batch.label_lengths[i]
+            toks[i, P : P + n] = batch.labels[i, :n]
+            tgts[i, P - 1 : P + n - 1] = batch.labels[i, :n]
+            tgts[i, P + n - 1] = EOT
+        out["tokens"] = jnp.asarray(toks)
+        out["targets"] = jnp.asarray(tgts)
+    return out
+
+
+def run_experiment(config: ExperimentConfig, resume: bool = False):
+    """Full fine-tune loop (BASELINE configs[2]); multi-dialect stage
+    scheduling (configs[3]) layers on top in train/schedules.py."""
+    from ..data.manifest import read_manifest
+    from ..data.pipeline import BatchIterator
+    from ..data.tokenizer import CharTokenizer
+    from ..models.bundle import ModelBundle
+    from .checkpoints import TrainCheckpointer
+
+    manifest = read_manifest(config.data.train_manifest)
+    tokenizer = CharTokenizer.build(manifest.texts())
+    if config.model_family == "ctc" and len(tokenizer) != config.ctc_model.vocab_size:
+        config.ctc_model.vocab_size = len(tokenizer)
+
+    params = ModelBundle._init_params(config, seed=config.train.seed)
+    model, loss_fn, tx, jitted_step = build_train_setup(config, params)
+    state = init_state(config, tx, params, config.train.seed)
+
+    it = BatchIterator(manifest, tokenizer, config.data)
+    ckpt = TrainCheckpointer(config.train.checkpoint_dir, config.train.keep_checkpoints)
+    start_step = 0
+    if resume:
+        step0, restored, extra = ckpt.restore(state)
+        if restored is not None:
+            state, start_step = restored, step0
+            it.load_state_dict(extra.get("data_iter", it.state_dict()))
+
+    logger = MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
+    total = config.train.optimizer.total_steps
+    t0 = time.time()
+    for step in range(start_step, total):
+        batch = batch_to_device(next(it), tokenizer, config.model_family)
+        state, metrics = jitted_step(state, batch)
+        if (step + 1) % config.train.log_every_steps == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = config.train.log_every_steps / max(
+                time.time() - t0, 1e-9
+            )
+            t0 = time.time()
+            logger.log(step + 1, **m)
+        if (step + 1) % config.train.checkpoint_every_steps == 0 or step + 1 == total:
+            ckpt.save(step + 1, state, {"data_iter": it.state_dict()})
+    logger.close()
+    bundle = ModelBundle(config=config, params=state.params, tokenizer=tokenizer)
+    return state, bundle

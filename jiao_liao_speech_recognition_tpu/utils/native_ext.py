@@ -1,0 +1,120 @@
+"""ctypes loader for the framework's native C++ components.
+
+The reference gets its native code from third-party wheels (rapidfuzz
+edit distance, libsndfile decode, Rust tokenizers — SURVEY.md §2.2). This
+framework builds its own minimal C++ equivalents in /root/repo/native and
+binds them via ctypes (pybind11 is not available in this image). Every
+native component has a pure-Python fallback, so the framework works before
+`make -C native` has run.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+
+
+def _lib_path(name: str) -> Path:
+    return _NATIVE_DIR / "build" / f"lib{name}.so"
+
+
+@lru_cache(maxsize=None)
+def load_editdist():
+    """Load the C++ edit-distance kernel (native/editdist.cpp).
+
+    Returns an object with ``edit_distance(ref_i32, hyp_i32) -> int`` or
+    raises if the library has not been built.
+    """
+    lib = ctypes.CDLL(str(_lib_path("editdist")))
+    lib.jl_edit_distance.restype = ctypes.c_int64
+    lib.jl_edit_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+
+    class _EditDist:
+        @staticmethod
+        def edit_distance(ref: np.ndarray, hyp: np.ndarray) -> int:
+            ref = np.ascontiguousarray(ref, dtype=np.int32)
+            hyp = np.ascontiguousarray(hyp, dtype=np.int32)
+            return lib.jl_edit_distance(
+                ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(ref),
+                hyp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(hyp),
+            )
+
+    return _EditDist()
+
+
+@lru_cache(maxsize=None)
+def load_wavio():
+    """Load the C++ WAV decoder (native/wavio.cpp).
+
+    Returns an object with ``read(path) -> (np.float32 pcm, sample_rate)``
+    or raises if the library has not been built.
+    """
+    lib = ctypes.CDLL(str(_lib_path("wavio")))
+    lib.jl_wav_info.restype = ctypes.c_int32
+    lib.jl_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),  # num frames
+        ctypes.POINTER(ctypes.c_int32),  # sample rate
+        ctypes.POINTER(ctypes.c_int32),  # channels
+    ]
+    lib.jl_wav_read.restype = ctypes.c_int32
+    lib.jl_wav_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+
+    class _WavIO:
+        @staticmethod
+        def read(path: str):
+            frames = ctypes.c_int64()
+            sr = ctypes.c_int32()
+            ch = ctypes.c_int32()
+            rc = lib.jl_wav_info(
+                str(path).encode(), ctypes.byref(frames), ctypes.byref(sr), ctypes.byref(ch)
+            )
+            if rc != 0:
+                raise IOError(f"wavio: cannot read header of {path} (rc={rc})")
+            out = np.empty(frames.value, dtype=np.float32)  # mono-mixed
+            rc = lib.jl_wav_read(
+                str(path).encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames.value,
+            )
+            if rc != 0:
+                raise IOError(f"wavio: decode failed for {path} (rc={rc})")
+            return out, sr.value
+
+    return _WavIO()
+
+
+def native_available(name: str) -> bool:
+    return _lib_path(name).exists()
+
+
+def build_native(verbose: bool = False) -> bool:
+    """Best-effort `make -C native` (used by CLI setup, never at import)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=not verbose,
+        )
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,81 @@
+"""CTC decoding tests: greedy collapse vs a python oracle; prefix beam
+search vs exhaustive path-sum on tiny cases and >= greedy likelihood."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jiao_liao_speech_recognition_tpu.decode.ctc import (
+    ctc_greedy_collapse,
+    ctc_greedy_decode,
+    ctc_prefix_beam_search,
+)
+
+
+def py_collapse(tokens, blank=0):
+    out, prev = [], None
+    for t in tokens:
+        if t != blank and t != prev:
+            out.append(t)
+        prev = t
+    return out
+
+
+def test_greedy_collapse_oracle(rng):
+    for _ in range(50):
+        T = rng.randint(1, 30)
+        toks = rng.randint(0, 4, T).astype(np.int32)
+        ids, n = ctc_greedy_collapse(jnp.asarray(toks)[None], jnp.asarray([T]))
+        got = list(np.asarray(ids)[0][: int(n[0])])
+        assert got == py_collapse(list(toks))
+
+
+def test_greedy_respects_lengths(rng):
+    toks = np.array([[1, 1, 2, 0, 3, 3]], np.int32)
+    ids, n = ctc_greedy_collapse(jnp.asarray(toks), jnp.asarray([3]))
+    assert list(np.asarray(ids)[0][: int(n[0])]) == [1, 2]
+
+
+def _rand_log_probs(rng, B, T, V, peaky=3.0):
+    logits = rng.randn(B, T, V).astype(np.float32) * peaky
+    return jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+
+
+def exhaustive_best_prefix(log_probs, blank=0):
+    """Enumerate all alignment paths (tiny T, V) and sum per collapsed prefix."""
+    import itertools
+
+    T, V = log_probs.shape
+    scores = {}
+    for path in itertools.product(range(V), repeat=T):
+        lp = sum(log_probs[t, path[t]] for t in range(T))
+        key = tuple(py_collapse(path, blank))
+        scores[key] = np.logaddexp(scores.get(key, -np.inf), lp)
+    return max(scores.items(), key=lambda kv: kv[1])
+
+
+def test_beam_matches_exhaustive(rng):
+    for _ in range(5):
+        T, V = 4, 3
+        lp = np.asarray(_rand_log_probs(rng, 1, T, V)[0])
+        want, _ = exhaustive_best_prefix(lp)
+        ids, n = ctc_prefix_beam_search(
+            jnp.asarray(lp)[None], jnp.asarray([T]), beam_size=8, topk_tokens=3
+        )
+        got = tuple(np.asarray(ids)[0][: int(n[0])])
+        assert got == want, (got, want)
+
+
+def test_beam_size_one_close_to_greedy(rng):
+    lp = _rand_log_probs(rng, 2, 12, 6, peaky=4.0)
+    lens = jnp.asarray([12, 9])
+    g_ids, g_n = ctc_greedy_decode(lp, lens)
+    b_ids, b_n = ctc_prefix_beam_search(lp, lens, beam_size=8, topk_tokens=6)
+    # with peaky distributions beam and greedy agree
+    for b in range(2):
+        assert (
+            list(np.asarray(b_ids)[b][: int(b_n[b])])
+            == list(np.asarray(g_ids)[b][: int(g_n[b])])
+        )

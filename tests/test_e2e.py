@@ -1,0 +1,180 @@
+"""Integration tests (SURVEY.md §4.4): the BASELINE configs[0] minimum slice
+(single WAV -> on-device log-mel -> transformer-CTC -> greedy decode -> text
+-> CER vs fixture) plus overfit-and-transcribe, fine_tune() API smoke, and
+the multi-dialect stage schedule."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jiao_liao_speech_recognition_tpu import api
+from jiao_liao_speech_recognition_tpu.data import CharTokenizer, ManifestRow, write_manifest
+from jiao_liao_speech_recognition_tpu.evals import cer
+from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+from jiao_liao_speech_recognition_tpu.train.engine import (
+    batch_to_device,
+    build_train_setup,
+    init_state,
+)
+from jiao_liao_speech_recognition_tpu.utils.config import (
+    CTCModelConfig,
+    DataConfig,
+    DialectStage,
+    ExperimentConfig,
+    FrontendConfig,
+    OptimizerConfig,
+    SpecAugmentConfig,
+    TrainConfig,
+)
+
+TEXT = "你好世界"
+
+
+def _tiny_config(vocab_size):
+    return ExperimentConfig(
+        model_family="ctc",
+        frontend=FrontendConfig(chunk_seconds=2.0),
+        ctc_model=CTCModelConfig(
+            vocab_size=vocab_size, d_model=64, num_layers=2, num_heads=4,
+            mlp_dim=128, conv_channels=32, dtype="float32",
+            use_flash_attention=False, dropout=0.0,
+        ),
+        specaugment=SpecAugmentConfig(enabled=False),
+        data=DataConfig(
+            batch_size=2, bucket_boundaries_seconds=(2.0,), max_text_len=16,
+            min_audio_seconds=0.1,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def overfit_bundle():
+    """Overfit a tiny model on one synthetic utterance; reused across tests."""
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(int(16000 * 1.5)) * 0.1).astype(np.float32)
+    t = np.arange(len(wav)) / 16000.0
+    wav += 0.3 * np.sin(2 * np.pi * 300 * t) * (t < 0.5)
+    wav += 0.3 * np.sin(2 * np.pi * 800 * t) * (t >= 0.7)
+    wav = wav.astype(np.float32)
+
+    tok = CharTokenizer.build([TEXT])
+    cfg = _tiny_config(len(tok))
+    cfg.train.optimizer = OptimizerConfig(
+        learning_rate=3e-3, warmup_steps=10, total_steps=150, schedule="constant"
+    )
+    params = ModelBundle._init_params(cfg)
+    _, _, tx, step = build_train_setup(cfg, params)
+    state = init_state(cfg, tx, params)
+    labels = np.zeros((1, 16), np.int32)
+    ids = tok.encode(TEXT)
+    labels[0, : len(ids)] = ids
+    samples = int(cfg.frontend.chunk_seconds * 16000)
+    audio = np.zeros((1, samples), np.float32)
+    audio[0, : len(wav)] = wav
+    batch = {
+        "audio": jnp.asarray(audio),
+        "audio_lengths": jnp.asarray([len(wav)], dtype=np.int32),
+        "labels": jnp.asarray(labels),
+        "label_lengths": jnp.asarray([len(ids)], dtype=np.int32),
+    }
+    loss = None
+    for _ in range(150):
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+    bundle = ModelBundle(config=cfg, params=state.params, tokenizer=tok)
+    return bundle, wav, loss
+
+
+def test_minimum_slice_overfit_decodes_fixture_text(overfit_bundle):
+    bundle, wav, loss = overfit_bundle
+    assert loss < 0.1, f"failed to overfit, loss={loss}"
+    texts = bundle.transcribe(wav, sample_rate=16000)
+    assert texts == [TEXT]
+    assert cer(TEXT, texts[0]) == 0.0
+
+
+def test_greedy_decode_deterministic(overfit_bundle):
+    bundle, wav, _ = overfit_bundle
+    t1 = bundle.transcribe(wav, sample_rate=16000)
+    t2 = bundle.transcribe(wav, sample_rate=16000)
+    assert t1 == t2
+
+
+def test_beam_decode_matches_greedy_on_peaky(overfit_bundle):
+    bundle, wav, _ = overfit_bundle
+    beam_cfg = dataclasses.replace(bundle.config.decode, strategy="beam", beam_size=4)
+    assert bundle.transcribe(wav, sample_rate=16000, decode_cfg=beam_cfg) == [TEXT]
+
+
+def test_bundle_save_load_roundtrip(overfit_bundle, tmp_path):
+    bundle, wav, _ = overfit_bundle
+    bundle.save(str(tmp_path / "ck"))
+    loaded = api.load(checkpoint=str(tmp_path / "ck"))
+    assert loaded.transcribe(wav, sample_rate=16000) == [TEXT]
+
+
+def test_fine_tune_api_smoke(tmp_path, rng):
+    """api.fine_tune on a 4-utterance manifest: runs, loss finite, ckpt written."""
+    rows = []
+    for i in range(4):
+        wav = (rng.randn(int(16000 * 1.2)) * 0.1).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, wav, 16000)
+        rows.append(ManifestRow(str(p), TEXT, 1.2, "jiaoliao"))
+    mpath = tmp_path / "train.jsonl"
+    write_manifest(rows, mpath)
+
+    cfg = _tiny_config(16)  # vocab auto-resized by run_experiment
+    cfg.data.train_manifest = str(mpath)
+    cfg.train = TrainConfig(
+        optimizer=OptimizerConfig(
+            learning_rate=1e-3, warmup_steps=2, total_steps=6, schedule="constant"
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every_steps=3,
+        log_every_steps=2,
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    state, bundle = api.fine_tune(cfg)
+    assert int(state.step) == 6
+    assert (tmp_path / "ckpt" / "00000006").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+    out = bundle.transcribe(rows[0].audio)
+    assert isinstance(out[0], str)
+
+
+def test_multi_dialect_stages(tmp_path, rng):
+    """Sequential neighbor->target transfer schedule (BASELINE configs[3])."""
+    from jiao_liao_speech_recognition_tpu.train.schedules import run_stages
+
+    manifests = {}
+    for dialect, text in [("jilu", "北京话很好"), ("jiaoliao", TEXT)]:
+        rows = []
+        for i in range(2):
+            wav = (rng.randn(int(16000 * 1.0)) * 0.1).astype(np.float32)
+            p = tmp_path / f"{dialect}{i}.wav"
+            write_wav(p, wav, 16000)
+            rows.append(ManifestRow(str(p), text, 1.0, dialect))
+        mp = tmp_path / f"{dialect}.jsonl"
+        write_manifest(rows, mp)
+        manifests[dialect] = str(mp)
+
+    cfg = _tiny_config(16)
+    cfg.ctc_model = dataclasses.replace(
+        cfg.ctc_model,
+        adapter=dataclasses.replace(cfg.ctc_model.adapter, kind="wf", wf_rank=2),
+    )
+    cfg.stages = (
+        DialectStage(name="neighbor", manifests=(manifests["jilu"],), steps=2,
+                     train_adapters_only=False),
+        DialectStage(name="target", manifests=(manifests["jiaoliao"],), steps=2,
+                     train_adapters_only=True),
+    )
+    params, tok, history = run_stages(cfg)
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)

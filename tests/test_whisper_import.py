@@ -1,0 +1,108 @@
+"""Whisper weight import parity (SURVEY.md §7 step 8): build a random
+transformers WhisperForConditionalGeneration locally (no network), export to
+safetensors, import into the Flax model, and check logits match torch."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+    hf_state_dict_to_flax,
+    load_hf_whisper,
+    read_safetensors,
+    write_safetensors,
+)
+from jiao_liao_speech_recognition_tpu.utils.config import WhisperConfig
+
+
+def test_safetensors_roundtrip(tmp_path, rng):
+    tensors = {
+        "a": rng.randn(3, 4).astype(np.float32),
+        "b": rng.randint(0, 10, (2, 2)).astype(np.int32),
+        "c": rng.randn(5).astype(np.float16),
+    }
+    p = tmp_path / "x.safetensors"
+    write_safetensors(p, tensors)
+    back = read_safetensors(p)
+    for k in tensors:
+        assert np.array_equal(back[k], tensors[k]), k
+
+
+def test_safetensors_matches_reference_lib(tmp_path, rng):
+    """Our reader against the official safetensors writer (installed)."""
+    st = pytest.importorskip("safetensors.numpy")
+    tensors = {"w": rng.randn(4, 6).astype(np.float32)}
+    p = tmp_path / "ref.safetensors"
+    st.save_file(tensors, str(p))
+    back = read_safetensors(p)
+    assert np.array_equal(back["w"], tensors["w"])
+
+
+@pytest.fixture(scope="module")
+def hf_whisper(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=200,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        decoder_ffn_dim=128,
+        max_source_positions=150,
+        max_target_positions=32,
+        # HF defaults point special ids at the full 51865 vocab; shrink them
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=1,
+        suppress_tokens=[],
+        begin_suppress_tokens=[],
+    )
+    torch.manual_seed(0)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    d = tmp_path_factory.mktemp("hfw")
+    model.save_pretrained(d, safe_serialization=True)
+    return model, hf_cfg, d
+
+
+def test_whisper_import_logit_parity(hf_whisper, rng):
+    torch = pytest.importorskip("torch")
+    model_t, hf_cfg, ckpt_dir = hf_whisper
+
+    cfg = WhisperConfig(
+        vocab_size=200, num_mels=80, d_model=64, encoder_layers=2,
+        decoder_layers=2, num_heads=4, mlp_dim=128, max_source_positions=150,
+        max_target_positions=32, dtype="float32", use_flash_attention=False,
+    )
+    params = load_hf_whisper(ckpt_dir, cfg)
+
+    mel = rng.randn(1, 80, 300).astype(np.float32) * 0.5
+    toks = np.array([[3, 17, 44, 160]], np.int64)
+
+    with torch.no_grad():
+        ref = model_t(
+            input_features=torch.tensor(mel), decoder_input_ids=torch.tensor(toks)
+        ).logits.numpy()
+
+    import jax
+
+    model_j = WhisperModel(cfg)
+    # full f32 matmuls for the parity check (the default JAX matmul precision
+    # is bf16-grade, which alone costs ~2e-3 on logits)
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(
+            model_j.apply(
+                {"params": params}, jnp.asarray(mel), jnp.asarray(toks.astype(np.int32))
+            )
+        )
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err < 2e-4, f"logit mismatch {err}"
