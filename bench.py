@@ -27,7 +27,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_decode
-    from jiao_liao_speech_recognition_tpu.frontend.features import log_mel_spectrogram
+    from jiao_liao_speech_recognition_tpu.frontend.features import (
+        featurize_batch,
+        log_mel_spectrogram,
+    )
     from jiao_liao_speech_recognition_tpu.models.ctc_model import CTCEncoderModel
     from jiao_liao_speech_recognition_tpu.utils.config import (
         CTCModelConfig,
@@ -45,7 +48,7 @@ def main() -> None:
     wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
     lengths = jnp.full((batch,), samples, jnp.int32)
 
-    feats0 = log_mel_spectrogram(wav[:1], fe)
+    feats0 = log_mel_spectrogram(wav[:1], fe)  # init on the XLA path
     params = model.init(
         jax.random.PRNGKey(0), feats0, jnp.asarray([samples // fe.hop_length])
     )["params"]
@@ -53,7 +56,8 @@ def main() -> None:
 
     @jax.jit
     def infer(params, wav, lengths):
-        feats = log_mel_spectrogram(wav, fe)
+        # fused Pallas frontend on TPU, XLA conv path elsewhere
+        feats = featurize_batch(wav, fe)
         log_probs, out_lens = model.apply(
             {"params": params}, feats, lengths // fe.hop_length, deterministic=True
         )

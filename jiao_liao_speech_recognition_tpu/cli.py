@@ -25,8 +25,14 @@ def _load_config(args):
 def cmd_train(args) -> int:
     from .api import fine_tune
     from .train.schedules import run_stages
+    from .utils.profiling import trace
 
     cfg = _load_config(args)
+    with trace(getattr(args, "profile", None)):
+        return _train_body(args, cfg, fine_tune, run_stages)
+
+
+def _train_body(args, cfg, fine_tune, run_stages) -> int:
     if cfg.stages:
         params, tokenizer, history = run_stages(cfg)
         for h in history:
@@ -47,9 +53,11 @@ def cmd_train(args) -> int:
 
 def cmd_transcribe(args) -> int:
     from .api import load, transcribe
+    from .utils.profiling import trace
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
-    texts = transcribe(bundle, args.audio)
+    with trace(getattr(args, "profile", None)):
+        texts = transcribe(bundle, args.audio)
     for path, text in zip(args.audio, texts):
         print(json.dumps({"audio": path, "text": text}, ensure_ascii=False))
     return 0
@@ -105,6 +113,7 @@ def main(argv=None) -> int:
     pt = sub.add_parser("train", help="(adapter) fine-tune / multi-dialect stages")
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--profile", metavar="LOGDIR", help="write an xprof trace")
     pt.add_argument("override", nargs="*", help="key.subkey=value overrides")
     pt.set_defaults(fn=cmd_train)
 
@@ -112,6 +121,7 @@ def main(argv=None) -> int:
     pr.add_argument("audio", nargs="+")
     pr.add_argument("--checkpoint")
     pr.add_argument("--config")
+    pr.add_argument("--profile", metavar="LOGDIR", help="write an xprof trace")
     pr.set_defaults(fn=cmd_transcribe)
 
     pe = sub.add_parser("evaluate", help="CER/WER on a manifest")

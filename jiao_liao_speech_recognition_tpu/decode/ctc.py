@@ -81,7 +81,7 @@ def ctc_prefix_beam_search(
     """
     B, T, V = log_probs.shape
     K = beam_size
-    topk_tokens = min(topk_tokens, V - 1)  # exclude blank-only vocabs gracefully
+    topk_tokens = min(topk_tokens, V)
     max_out = T
 
     NEG = -1e30
@@ -98,7 +98,10 @@ def ctc_prefix_beam_search(
         prefixes, plen, pb, pnb, ph = carry
         lp = log_probs[:, t, :]  # [B, V]
         lp_blank = lp[:, blank_id]  # [B]
-        topv, topi = jax.lax.top_k(lp, topk_tokens)  # [B, k]
+        # blank is never an *extension* token (it has its own same-prefix
+        # candidate); mask it out of the top-k proposal set
+        lp_ext = lp.at[:, blank_id].set(NEG)
+        topv, topi = jax.lax.top_k(lp_ext, topk_tokens)  # [B, k]
 
         p_total = jnp.logaddexp(pb, pnb)  # [B, K]
         last = jnp.take_along_axis(
@@ -148,10 +151,13 @@ def ctc_prefix_beam_search(
         # merge duplicates by hash: for each candidate, sum probs of equal
         # hashes; keep first occurrence, kill the rest
         eq = chash[:, :, None] == chash[:, None, :]  # [B, C, C]
-        ctot_pb = _masked_logsumexp(cpb, eq)
-        ctot_pnb = _masked_logsumexp(cpnb, eq)
         first_occ = jnp.argmax(eq, axis=2) == jnp.arange(eq.shape[1])[None, :]
-        score = jnp.where(first_occ, jnp.logaddexp(ctot_pb, ctot_pnb), NEG)
+        # merged totals live ONLY on the first occurrence; duplicates are
+        # killed outright, else a wide beam re-admits them with full scores
+        # and the next step double-counts the prefix
+        ctot_pb = jnp.where(first_occ, _masked_logsumexp(cpb, eq), NEG)
+        ctot_pnb = jnp.where(first_occ, _masked_logsumexp(cpnb, eq), NEG)
+        score = jnp.logaddexp(ctot_pb, ctot_pnb)
 
         # respect sequence length: past the end, freeze beams (no update)
         active = t < lengths  # [B]
@@ -195,6 +201,71 @@ def _masked_logsumexp(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     xm = jnp.where(mask, x[:, None, :], -1e30)
     m = jnp.max(xm, axis=2)
     return m + jnp.log(jnp.sum(jnp.exp(xm - m[..., None]), axis=2) + 1e-37)
+
+
+# ---------------------------------------------------------------------------
+# Prefix beam search (host, numpy) — exact semantics, zero compile cost
+# ---------------------------------------------------------------------------
+
+
+def ctc_prefix_beam_search_host(
+    log_probs: np.ndarray,  # [B, T, V] (host)
+    lengths: np.ndarray,  # [B]
+    beam_size: int = 8,
+    blank_id: int = 0,
+    topk_tokens: int = 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Classic dict-based prefix beam search on host.
+
+    Same semantics as the device version (sum over alignments per collapsed
+    prefix, exact duplicate merging) at zero XLA-compile cost — the default
+    for offline CTC beam decoding; the device version exists for serving
+    pipelines that cannot leave the chip (SURVEY §7 hard-part 3).
+    """
+    log_probs = np.asarray(log_probs)
+    lengths = np.asarray(lengths)
+    B, T, V = log_probs.shape
+    k_tok = min(topk_tokens, V - 1)
+    out_ids = np.zeros((B, T), np.int32)
+    out_len = np.zeros((B,), np.int32)
+    NEG = -1e30
+    for b in range(B):
+        beams = {(): (0.0, NEG)}  # prefix -> (log p_blank, log p_nonblank)
+        for t in range(int(lengths[b])):
+            lp = log_probs[b, t]
+            lp_ext = lp.copy()
+            lp_ext[blank_id] = NEG  # blank is never an extension token
+            top = np.argpartition(-lp_ext, min(k_tok, V - 1))[:k_tok]
+            nxt: dict = {}
+
+            def acc(prefix, pb, pnb):
+                opb, opnb = nxt.get(prefix, (NEG, NEG))
+                nxt[prefix] = (np.logaddexp(opb, pb), np.logaddexp(opnb, pnb))
+
+            for prefix, (pb, pnb) in beams.items():
+                p_tot = np.logaddexp(pb, pnb)
+                acc(prefix, p_tot + lp[blank_id], NEG)  # emit blank
+                if prefix:
+                    acc(prefix, NEG, pnb + lp[prefix[-1]])  # repeat last
+                for v in top:
+                    v = int(v)
+                    if v == blank_id:
+                        continue
+                    if prefix and v == prefix[-1]:
+                        src = pb  # after a blank only
+                    else:
+                        src = p_tot
+                    acc(prefix + (v,), NEG, src + lp[v])
+            beams = dict(
+                sorted(
+                    nxt.items(),
+                    key=lambda kv: -np.logaddexp(kv[1][0], kv[1][1]),
+                )[:beam_size]
+            )
+        best = max(beams.items(), key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]))[0]
+        out_ids[b, : len(best)] = best
+        out_len[b] = len(best)
+    return out_ids, out_len
 
 
 def ids_to_texts(ids: np.ndarray, lengths: np.ndarray, tokenizer) -> List[str]:

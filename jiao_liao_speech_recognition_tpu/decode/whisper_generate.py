@@ -81,11 +81,121 @@ def greedy_generate(
     return gen, lengths
 
 
+def beam_generate(
+    model,
+    params,
+    mel: jnp.ndarray,  # [B, mels, T]
+    beam_size: int = 4,
+    max_len: int = 224,
+    length_penalty: float = 1.0,
+    prompt: Optional[Tuple[int, ...]] = None,
+    eot_id: int = EOT,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched AR beam search with KV caches, fully on device.
+
+    Beams fold into the batch axis (B*K); each step scores K*V candidate
+    continuations per utterance, keeps the top K, and gathers the KV caches
+    along the winning beams. Finished beams propose only EOT at logprob 0 so
+    their score freezes. Returns the best beam per utterance:
+    (tokens [B, max_len] past prompt, lengths [B]).
+    """
+    prompt = prompt or default_prompt(model.cfg.vocab_size)
+    B = mel.shape[0]
+    K = beam_size
+    P = len(prompt)
+    V = model.cfg.vocab_size
+    NEG = -1e30
+
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
+    caches = model.apply({"params": params}, B * K, enc, method=model.init_cache)
+
+    tokens0 = jnp.full((B, K, max_len), eot_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, :P].set(jnp.asarray(prompt, jnp.int32)[None, None])
+    scores0 = jnp.full((B, K), NEG).at[:, 0].set(0.0)  # only beam 0 alive
+    finished0 = jnp.zeros((B, K), bool)
+
+    def gather_beams(tree, idx):
+        """Gather along the beam axis of [B*K, ...] leaves. idx [B, K]."""
+
+        def g(x):
+            xk = x.reshape(B, K, *x.shape[1:])
+            ind = idx.reshape(B, K, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xk, ind, axis=1).reshape(x.shape)
+
+        return jax.tree_util.tree_map(g, tree)
+
+    def step_fn(carry):
+        tokens, scores, finished, caches, pos = carry
+        tok = jax.lax.dynamic_slice(tokens, (0, 0, pos), (B, K, 1)).reshape(B * K, 1)
+        logits, new_caches = model.apply(
+            {"params": params}, tok, pos, enc, caches, method=model.decode_step
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
+        # finished beams: only EOT continuation at logprob 0
+        eot_only = jnp.full((V,), NEG).at[eot_id].set(0.0)
+        logp = jnp.where(finished[..., None], eot_only[None, None, :], logp)
+
+        in_prompt = pos + 1 < P
+        cand = scores[..., None] + logp  # [B, K, V]
+
+        def prompt_select(_):
+            # forced decoding: every beam continues with the prompt token
+            nxt = tokens[:, :, pos + 1]
+            return scores + jnp.take_along_axis(logp, nxt[..., None], axis=2)[..., 0], \
+                jnp.tile(jnp.arange(K)[None], (B, 1)), nxt
+
+        def beam_select(_):
+            flat = cand.reshape(B, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            return top_scores, top_idx // V, (top_idx % V).astype(jnp.int32)
+
+        new_scores, src_beam, new_tok = jax.lax.cond(
+            in_prompt, prompt_select, beam_select, None
+        )
+        tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
+        finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        caches = gather_beams(new_caches, src_beam)
+        new_tok = jnp.where(finished, eot_id, new_tok)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[..., None], (0, 0, pos + 1)
+        )
+        finished = finished | (~in_prompt & (new_tok == eot_id))
+        return tokens, new_scores, finished, caches, pos + 1
+
+    def cond_fn(carry):
+        _, _, finished, _, pos = carry
+        return (pos < max_len - 1) & ~jnp.all(finished)
+
+    tokens, scores, finished, _, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (tokens0, scores0, finished0, caches, jnp.int32(0))
+    )
+
+    gen = tokens[:, :, P:]  # [B, K, L]
+    is_eot = gen == eot_id
+    first_eot = jnp.argmax(is_eot, axis=2)
+    lengths = jnp.where(jnp.any(is_eot, axis=2), first_eot, gen.shape[2])  # [B, K]
+    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(scores / norm, axis=1)  # [B]
+    gen_best = jnp.take_along_axis(gen, best[:, None, None], axis=1)[:, 0]
+    len_best = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    return gen_best, len_best
+
+
 def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
     """Entry used by ModelBundle.transcribe for the whisper family."""
     from ..models.whisper import WhisperModel
 
     model = WhisperModel(bundle.config.whisper)
+    if decode_cfg.strategy == "beam" and decode_cfg.beam_size > 1:
+        return beam_generate(
+            model,
+            bundle.params,
+            mel,
+            beam_size=decode_cfg.beam_size,
+            max_len=decode_cfg.max_decode_len,
+            length_penalty=decode_cfg.length_penalty,
+        )
     return greedy_generate(
         model, bundle.params, mel, max_len=decode_cfg.max_decode_len
     )

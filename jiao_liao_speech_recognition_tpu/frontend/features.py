@@ -41,7 +41,10 @@ def _hz_to_mel(f: np.ndarray, scale: str) -> np.ndarray:
     min_log_hz = 1000.0
     min_log_mel = (min_log_hz - f_min) / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+    with np.errstate(divide="ignore"):  # f=0 hits the unused log branch
+        return np.where(
+            f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels
+        )
 
 
 def _mel_to_hz(m: np.ndarray, scale: str) -> np.ndarray:
@@ -174,6 +177,41 @@ def log_mel_spectrogram(
     return log_spec
 
 
+def fbank(
+    wav: jnp.ndarray,
+    cfg: Optional[FrontendConfig] = None,
+) -> jnp.ndarray:
+    """SpeechBrain-style log-mel fbank (SURVEY.md C3, SB `Fbank` path):
+    optional preemphasis -> centered power STFT -> mel -> natural log with
+    floor -> optional utterance CMVN. Used by the transformer-CTC recipe
+    family; the Whisper path uses log_mel_spectrogram instead."""
+    cfg = cfg or FrontendConfig(whisper_norm=False, cmvn="utterance", preemphasis=0.97)
+    if wav.ndim == 1:
+        wav = wav[None, :]
+    x = wav.astype(jnp.float32)
+    if cfg.preemphasis > 0:
+        x = jnp.concatenate(
+            [x[:, :1], x[:, 1:] - cfg.preemphasis * x[:, :-1]], axis=1
+        )
+    power = stft_power(x, cfg.n_fft, cfg.hop_length)[:, :, :-1]
+    mel = jnp.asarray(
+        mel_filterbank(cfg.num_mels, cfg.n_fft, cfg.sample_rate, scale=cfg.mel_scale)
+    )
+    mel_spec = jnp.einsum(
+        "mf,bft->bmt",
+        mel,
+        power,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    log_spec = jnp.log(jnp.maximum(mel_spec, cfg.log_floor))
+    if cfg.cmvn == "utterance":
+        mean = jnp.mean(log_spec, axis=2, keepdims=True)
+        std = jnp.std(log_spec, axis=2, keepdims=True)
+        log_spec = (log_spec - mean) / (std + 1e-8)
+    return log_spec
+
+
 def pad_or_trim(wav: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     """Host-side pad/trim of 1-D PCM to the fixed 30 s chunk (Whisper
     receptive field, SURVEY §5.7)."""
@@ -185,25 +223,40 @@ def pad_or_trim(wav: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_length", "num_mels", "mel_scale", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft",
+        "hop_length",
+        "num_mels",
+        "mel_scale",
+        "whisper_norm",
+        "cmvn",
+        "use_pallas",
+    ),
+)
 def _featurize_jit(
     wav: jnp.ndarray,
     n_fft: int,
     hop_length: int,
     num_mels: int,
     mel_scale: str,
+    whisper_norm: bool,
+    cmvn: str,
     use_pallas: bool,
 ) -> jnp.ndarray:
     cfg = FrontendConfig(
-        n_fft=n_fft, hop_length=hop_length, num_mels=num_mels, mel_scale=mel_scale
+        n_fft=n_fft,
+        hop_length=hop_length,
+        num_mels=num_mels,
+        mel_scale=mel_scale,
+        whisper_norm=whisper_norm,
+        cmvn=cmvn,
     )
     if use_pallas:
         from .pallas_frontend import fused_log_mel
 
-        try:
-            return fused_log_mel(wav, cfg)
-        except NotImplementedError:
-            pass
+        return fused_log_mel(wav, cfg)
     return log_mel_spectrogram(wav, cfg)
 
 
@@ -216,5 +269,12 @@ def featurize_batch(wav: jnp.ndarray, cfg: Optional[FrontendConfig] = None) -> j
     cfg = cfg or FrontendConfig()
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     return _featurize_jit(
-        wav, cfg.n_fft, cfg.hop_length, cfg.num_mels, cfg.mel_scale, use_pallas
+        wav,
+        cfg.n_fft,
+        cfg.hop_length,
+        cfg.num_mels,
+        cfg.mel_scale,
+        cfg.whisper_norm,
+        cfg.cmvn,
+        use_pallas,
     )

@@ -1,15 +1,31 @@
 """Fused Pallas TPU kernel for the log-mel frontend.
 
-Fuses frame -> window*DFT (MXU matmul) -> power -> mel matmul (MXU) -> log10
-into one kernel so the [B, 2F, T] power spectrum never round-trips to HBM
-(the dominant memory traffic in the XLA conv path). The Whisper
-normalization (max-8 clamp, (x+4)/4) needs a global max over the utterance,
-so it stays outside the kernel as cheap XLA elementwise ops.
+Fuses framing -> windowed-DFT matmul (MXU) -> power -> mel matmul (MXU) ->
+log10 into one kernel, so the [T, 2F] DFT projection and [T, F] power
+spectrum never touch HBM. The XLA conv path (features.py) materializes those
+intermediates (~300 MB for a 32x30 s batch in f32); here only the [T, M]
+log-mel leaves the kernel.
 
-Grid: (B, T // FRAME_TILE). Each program computes FRAME_TILE frames:
-  frames [FRAME_TILE, n_fft] (gathered from padded wav in VMEM)
-  @ dft_basis.T [n_fft, 2F]  -> power [FRAME_TILE, F]
-  @ mel.T [F, num_mels]      -> [FRAME_TILE, num_mels] -> log10 -> out
+Mosaic-friendly design (no gathers, no in-kernel reshapes, no concats):
+* the host-side wrapper reshapes the padded waveform to hop-width rows
+  [B, n_chunks, hop] — a free XLA reshape — so frame i starts at row i;
+* grid = (batch, frame-tile): the k pre-shifted inputs make tiles
+  non-overlapping, so BlockSpec tiling streams FRAME_TILE-frame blocks
+  through VMEM (a single-row program holding the whole 30 s utterance
+  overflows the 16 MB VMEM budget);
+* instead of assembling the overlapping [FRAME_TILE, n_fft] frame matrix
+  (whose lane-offset concat Mosaic rejects), the DFT matmul is decomposed
+  into k = ceil(n_fft/hop) partial matmuls: shifted rows [TILE, hop] x basis
+  chunk [hop, 2F], summed — algebraically identical;
+* the k row-shifted views arrive as k separate XLA-prepared inputs (wav is
+  tiny next to the fused-away intermediates), so every VMEM load in the
+  kernel sits at a sublane-aligned offset — Mosaic rejects the +1/+2-row
+  dynamic loads a single shared buffer would need;
+* the mel matmul + VPU square/log finish the tile.
+
+The Whisper normalization tail (clamp to per-utterance max-8, (x+4)/4)
+needs a global max, so it stays outside as cheap XLA elementwise ops.
+All math is float32 (parity hard-part 1, SURVEY §7).
 """
 
 from __future__ import annotations
@@ -25,77 +41,130 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.config import FrontendConfig
 from .features import _dft_basis, mel_filterbank
 
-FRAME_TILE = 256  # frames per program; 3000 frames -> 12 programs (+pad)
+FRAME_TILE = 512  # frames per inner-loop tile
 
 
-def _kernel(wav_ref, basis_ref, mel_ref, out_ref, *, n_fft, hop, n_freqs, log_floor):
-    """One tile of frames for one batch element.
+def _logmel_kernel(*refs, n_fft, hop, n_freqs, log_floor):
+    """One (batch row, frame tile) program: k+1 MXU matmuls.
 
-    wav_ref:   [1, FRAME_TILE*hop + n_fft]  (overlapping window of padded wav)
-    basis_ref: [n_fft, 2F] windowed DFT basis (transposed for matmul)
-    mel_ref:   [F_pad, num_mels] mel filterbank (transposed, zero-padded)
-    out_ref:   [1, FRAME_TILE, num_mels]
+    refs = (wav_0 .. wav_{k-1}, basis, mel, out):
+    wav_j:  [1, FRAME_TILE, hop] — rows pre-shifted by j, so frame i's
+            j-th chunk is wav_j[i]
+    basis:  [k*hop, F2_pad] windowed DFT basis, zero rows past n_fft
+    mel:    [F2_pad//2, M_pad] mel filterbank (transposed, zero-padded)
+    out:    [1, FRAME_TILE, M_pad]
     """
-    seg = wav_ref[0, :]  # [tile*hop + n_fft]
-    # Build the frame matrix [FRAME_TILE, n_fft]. hop < n_fft so frames
-    # overlap; express as gather-free strided slices stacked via fori_loop
-    # into VMEM scratch would serialize — instead use a reshape trick:
-    # seg strided view == seg[i*hop + j]. With hop=160, n_fft=400 take
-    # seg reshaped [tile, hop] blocks and concatenate 3 shifted copies
-    # (ceil(n_fft/hop) = 3) then slice columns.
-    k = -(-n_fft // hop)  # chunks of hop covering one frame
-    base = jax.lax.broadcasted_iota(jnp.int32, (FRAME_TILE, n_fft), 0) * hop
-    col = jax.lax.broadcasted_iota(jnp.int32, (FRAME_TILE, n_fft), 1)
-    frames = seg[(base + col).reshape(-1)].reshape(FRAME_TILE, n_fft)
-    proj = jnp.dot(frames, basis_ref[:, :], preferred_element_type=jnp.float32)
-    power = proj[:, :n_freqs] ** 2 + proj[:, n_freqs:] ** 2  # [tile, F]
+    k = -(-n_fft // hop)  # chunks covering one frame
+    wav_refs = refs[:k]
+    basis_ref, mel_ref, out_ref = refs[k], refs[k + 1], refs[k + 2]
+
+    # proj[i, f] = sum_j wav_j[i, :] @ basis[j*hop:(j+1)*hop, f]
+    proj = jnp.zeros((FRAME_TILE, basis_ref.shape[1]), jnp.float32)
+    for j in range(k):
+        proj = proj + jnp.dot(
+            wav_refs[j][0],
+            basis_ref[j * hop : (j + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+        )
+    power = proj[:, :n_freqs] ** 2 + proj[:, n_freqs : 2 * n_freqs] ** 2
     melspec = jnp.dot(power, mel_ref[:n_freqs, :], preferred_element_type=jnp.float32)
-    out_ref[0, :, :] = jnp.log(jnp.maximum(melspec, log_floor)) * np.float32(
+    out_ref[0] = jnp.log(jnp.maximum(melspec, log_floor)) * np.float32(
         1.0 / np.log(10.0)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "num_mels", "mel_scale"))
-def _fused_log_mel_impl(wav, n_fft, hop, num_mels, mel_scale):
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "num_mels", "mel_scale", "log_floor")
+)
+def fused_log_mel_raw(
+    wav: jnp.ndarray,
+    n_fft: int = 400,
+    hop: int = 160,
+    num_mels: int = 80,
+    mel_scale: str = "slaney",
+    log_floor: float = 1e-10,
+) -> jnp.ndarray:
+    """[B, L] PCM -> [B, num_mels, L//hop] log10-mel (no Whisper norm tail).
+
+    Matches features.log_mel_spectrogram up to the normalization tail.
+    """
     B, L = wav.shape
     n_freqs = n_fft // 2 + 1
-    num_frames = L // hop  # Whisper: drop last frame
+    num_frames = L // hop  # Whisper convention: drop the final frame
     pad = n_fft // 2
     x = jnp.pad(wav.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    # pad frames to a FRAME_TILE multiple; pad wav so every tile's window is in-bounds
-    t_pad = -(-num_frames // FRAME_TILE) * FRAME_TILE
-    need = (t_pad - 1) * hop + n_fft
+
+    t_pad = max(-(-num_frames // FRAME_TILE) * FRAME_TILE, FRAME_TILE)
+    k = -(-n_fft // hop)
+    n_chunks_pad = t_pad  # tiled exactly by FRAME_TILE blocks
+    need = (n_chunks_pad + k) * hop
     if x.shape[1] < need:
         x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    x = x[:, :need].reshape(B, n_chunks_pad + k, hop)
+    # k row-shifted views (XLA slices; each [B, n_chunks_pad, hop])
+    xs = [x[:, j : j + n_chunks_pad, :] for j in range(k)]
 
-    basis = jnp.asarray(_dft_basis(n_fft)).T  # [n_fft, 2F]
-    mel = jnp.asarray(mel_filterbank(num_mels, n_fft, scale=mel_scale)).T  # [F, M]
+    f2_pad = -(-2 * n_freqs // 128) * 128  # 402 -> 512
+    m_pad = -(-num_mels // 128) * 128  # 80 -> 128
+    basis = np.zeros((k * hop, f2_pad), np.float32)  # zero rows past n_fft
+    basis[:n_fft, : 2 * n_freqs] = _dft_basis(n_fft).T
+    mel = np.zeros((f2_pad // 2, m_pad), np.float32)
+    mel[:n_freqs, :num_mels] = mel_filterbank(num_mels, n_fft, scale=mel_scale).T
 
-    grid = (B, t_pad // FRAME_TILE)
-    seg_len = FRAME_TILE * hop + n_fft
+    num_tiles = t_pad // FRAME_TILE
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         functools.partial(
-            _kernel, n_fft=n_fft, hop=hop, n_freqs=n_freqs, log_floor=1e-10
+            _logmel_kernel,
+            n_fft=n_fft,
+            hop=hop,
+            n_freqs=n_freqs,
+            log_floor=log_floor,
         ),
-        grid=grid,
+        grid=(B, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, seg_len),
-                lambda b, t: (b, t * FRAME_TILE * hop // seg_len if False else t),
-                memory_space=pltpu.VMEM,
+                (1, FRAME_TILE, hop), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(k)
+        ]
+        + [
+            pl.BlockSpec(
+                (k * hop, f2_pad), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((n_fft, 2 * n_freqs), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_freqs, num_mels), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (f2_pad // 2, m_pad), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, FRAME_TILE, num_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, FRAME_TILE, m_pad), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, t_pad, num_mels), jnp.float32),
-    )(x, basis, mel)
-    return out[:, :num_frames, :].transpose(0, 2, 1)  # [B, M, T]
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, m_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * n_fft * f2_pad + 2 * B * t_pad * n_freqs * m_pad,
+            bytes_accessed=4 * (B * need + B * t_pad * m_pad),
+            transcendentals=B * t_pad * m_pad,
+        ),
+        interpret=interpret,
+    )(*xs, jnp.asarray(basis), jnp.asarray(mel))
+    return out[:, :num_frames, :num_mels].transpose(0, 2, 1)
 
 
 def fused_log_mel(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Fused Pallas log-mel. Returns [B, num_mels, L//hop] *before* Whisper
-    normalization-clamp; the caller applies the (max-8, +4, /4) tail."""
-    raise NotImplementedError("pallas frontend lands after numeric parity of the XLA path")
+    """Whisper-normalized fused log-mel: kernel + XLA normalization tail.
+
+    Drop-in equal to features.log_mel_spectrogram(wav, cfg) for
+    whisper_norm=True configs.
+    """
+    log_spec = fused_log_mel_raw(
+        wav, cfg.n_fft, cfg.hop_length, cfg.num_mels, cfg.mel_scale, cfg.log_floor
+    )
+    if cfg.whisper_norm:
+        mx = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+        log_spec = jnp.maximum(log_spec, mx - 8.0)
+        log_spec = (log_spec + 4.0) / 4.0
+    if cfg.cmvn == "utterance":
+        mean = jnp.mean(log_spec, axis=2, keepdims=True)
+        std = jnp.std(log_spec, axis=2, keepdims=True)
+        log_spec = (log_spec - mean) / (std + 1e-8)
+    return log_spec

@@ -136,6 +136,14 @@ class ModelBundle:
             return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
         log_probs, out_lens = self.encode(feats, flens)
         if decode_cfg.strategy == "beam":
+            # host beam by default: identical semantics, no XLA compile cost
+            from ..decode.ctc import ctc_prefix_beam_search_host
+
+            ids, lens = ctc_prefix_beam_search_host(
+                np.asarray(log_probs), np.asarray(out_lens),
+                decode_cfg.beam_size, decode_cfg.ctc_blank_id,
+            )
+        elif decode_cfg.strategy == "beam_device":
             ids, lens = ctc_prefix_beam_search(
                 log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id
             )

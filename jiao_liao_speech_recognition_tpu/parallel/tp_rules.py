@@ -1,0 +1,66 @@
+"""Tensor-parallel sharding rules for the transformer backbones.
+
+The reference has no TP (SURVEY.md §2.3 — DDP only); this is the TPU-native
+extension for whisper-large-v3 scale: Megatron-style column/row sharding of
+the attention and MLP matmuls over the mesh 'model' axis, expressed purely
+as parameter shardings — XLA's SPMD partitioner propagates them through the
+jitted step and inserts the ICI all-reduces (no hand-written collectives).
+
+Rules (path-suffix matched on the Flax tree):
+  q/k/v_proj kernel [d_in, d_out]   -> P(fsdp?, 'model')   (column)
+  out_proj   kernel [d_in, d_out]   -> P('model', None)    (row)
+  fc1        kernel [d, mlp]        -> P(None, 'model')    (column)
+  fc2        kernel [mlp, d]        -> P('model', None)    (row)
+  fc1 / qkv  bias                   -> P('model')
+  embed_tokens.embedding [V, d]     -> P('model', None)    (vocab shard)
+  everything else                   -> replicated (or fsdp via mesh.py)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_COLUMN_KERNELS = ("q_proj", "k_proj", "v_proj", "fc1")
+_ROW_KERNELS = ("out_proj", "fc2")
+
+
+def _path_strs(kp) -> list:
+    return [str(getattr(k, "key", getattr(k, "idx", k))) for k in kp]
+
+
+def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree implementing the rules above. Axes whose size
+    doesn't divide the 'model' axis length fall back to replication."""
+    tp = mesh.shape["model"]
+
+    def rule(kp, p):
+        keys = _path_strs(kp)
+        if tp == 1 or p.ndim == 0:
+            return NamedSharding(mesh, P())
+        # locate the owning module name (…/<module>/dense/kernel)
+        mod = ""
+        for k in keys:
+            if k in _COLUMN_KERNELS + _ROW_KERNELS:
+                mod = k
+        leaf = keys[-1]
+        if leaf == "kernel" and p.ndim == 2:
+            if mod in _COLUMN_KERNELS and p.shape[1] % tp == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if mod in _ROW_KERNELS and p.shape[0] % tp == 0:
+                return NamedSharding(mesh, P("model", None))
+        if leaf == "bias" and mod in _COLUMN_KERNELS and p.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model"))
+        if leaf == "embedding" and p.ndim == 2 and p.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def apply_tp(mesh: Mesh, params: Any) -> Any:
+    """device_put the params with TP shardings."""
+    sh = tp_param_sharding(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)

@@ -219,8 +219,20 @@ def init_state(config: ExperimentConfig, tx, params, seed: int = 0) -> TrainStat
     )
 
 
-def batch_to_device(batch, tokenizer=None, family: str = "ctc", whisper_prompt=None):
-    """Host Batch dataclass -> dict of device arrays for the step fn."""
+def batch_to_device(
+    batch,
+    tokenizer=None,
+    family: str = "ctc",
+    whisper_prompt=None,
+    eot_id: Optional[int] = None,
+):
+    """Host Batch dataclass -> dict of device arrays for the step fn.
+
+    For the whisper family, builds teacher-forcing (tokens, targets) with the
+    transcription prompt prefix; `eot_id` must lie inside the model's vocab
+    (defaults to the standard Whisper EOT, 50257 — override for small test
+    vocabs or the targets/embedding lookups go out of range).
+    """
     out = {
         "audio": jnp.asarray(batch.audio),
         "audio_lengths": jnp.asarray(batch.audio_lengths),
@@ -228,19 +240,20 @@ def batch_to_device(batch, tokenizer=None, family: str = "ctc", whisper_prompt=N
         "label_lengths": jnp.asarray(batch.label_lengths),
     }
     if family == "whisper":
-        from ..decode.whisper_generate import EOT
+        from ..decode.whisper_generate import EOT, default_prompt
 
-        prompt = list(whisper_prompt or ())
+        eot = EOT if eot_id is None else eot_id
+        prompt = list(whisper_prompt if whisper_prompt is not None else default_prompt())
         B, S = batch.labels.shape
         P = len(prompt)
-        toks = np.full((B, P + S + 1), EOT, np.int32)
+        toks = np.full((B, P + S + 1), eot, np.int32)
         tgts = np.full((B, P + S + 1), -100, np.int32)
         toks[:, :P] = prompt
         for i in range(B):
             n = batch.label_lengths[i]
             toks[i, P : P + n] = batch.labels[i, :n]
             tgts[i, P - 1 : P + n - 1] = batch.labels[i, :n]
-            tgts[i, P + n - 1] = EOT
+            tgts[i, P + n - 1] = eot
         out["tokens"] = jnp.asarray(toks)
         out["targets"] = jnp.asarray(tgts)
     return out

@@ -101,6 +101,70 @@ def load_wavio():
     return _WavIO()
 
 
+def load_bpe(tokenizer):
+    """Bind the C++ BPE merge loop (native/bpe.cpp) to a ByteLevelBPE
+    instance: merge rules become (left<<32|right) keys over vocab ids.
+
+    Returns an object with ``encode_word(mapped: str) -> list[int] | None``
+    (None when a char is missing from the vocab — caller falls back).
+    """
+    lib = ctypes.CDLL(str(_lib_path("bpe")))
+    lib.jl_bpe_new.restype = ctypes.c_void_p
+    lib.jl_bpe_new.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.jl_bpe_encode.restype = ctypes.c_int64
+    lib.jl_bpe_encode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.jl_bpe_free.restype = None
+    lib.jl_bpe_free.argtypes = [ctypes.c_void_p]
+
+    vocab = tokenizer.vocab
+    keys, merged = [], []
+    for (a, b), _rank in sorted(tokenizer.ranks.items(), key=lambda kv: kv[1]):
+        va, vb, vm = vocab.get(a), vocab.get(b), vocab.get(a + b)
+        if va is None or vb is None or vm is None:
+            continue  # rule references tokens outside the vocab; skip
+        keys.append((va << 32) | vb)
+        merged.append(vm)
+    keys_arr = np.asarray(keys, dtype=np.int64)
+    merged_arr = np.asarray(merged, dtype=np.int32)
+    handle = lib.jl_bpe_new(
+        len(keys),
+        keys_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        merged_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+
+    class _Bpe:
+        # keep source arrays alive with the handle
+        _keep = (keys_arr, merged_arr)
+
+        @staticmethod
+        def encode_word(mapped: str):
+            syms = np.empty(len(mapped), dtype=np.int32)
+            for i, ch in enumerate(mapped):
+                vid = vocab.get(ch)
+                if vid is None:
+                    return None
+                syms[i] = vid
+            out = np.empty(max(len(mapped), 1), dtype=np.int32)
+            n = lib.jl_bpe_encode(
+                handle,
+                syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(syms),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return [int(x) for x in out[:n]]
+
+    return _Bpe()
+
+
 def native_available(name: str) -> bool:
     return _lib_path(name).exists()
 

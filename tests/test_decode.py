@@ -62,7 +62,7 @@ def test_beam_matches_exhaustive(rng):
         lp = np.asarray(_rand_log_probs(rng, 1, T, V)[0])
         want, _ = exhaustive_best_prefix(lp)
         ids, n = ctc_prefix_beam_search(
-            jnp.asarray(lp)[None], jnp.asarray([T]), beam_size=8, topk_tokens=3
+            jnp.asarray(lp)[None], jnp.asarray([T]), beam_size=32, topk_tokens=3
         )
         got = tuple(np.asarray(ids)[0][: int(n[0])])
         assert got == want, (got, want)
@@ -79,3 +79,50 @@ def test_beam_size_one_close_to_greedy(rng):
             list(np.asarray(b_ids)[b][: int(b_n[b])])
             == list(np.asarray(g_ids)[b][: int(g_n[b])])
         )
+
+
+def test_host_beam_matches_device_beam(rng):
+    from jiao_liao_speech_recognition_tpu.decode.ctc import (
+        ctc_prefix_beam_search_host,
+    )
+
+    from jiao_liao_speech_recognition_tpu.ops.ctc_loss import ctc_loss
+
+    for _ in range(5):
+        lp = _rand_log_probs(rng, 2, 10, 5, peaky=1.0)  # flat distributions
+        lens = np.array([10, 7])
+        d_ids, d_n = ctc_prefix_beam_search(
+            jnp.asarray(lp), jnp.asarray(lens), beam_size=8, topk_tokens=4
+        )
+        h_ids, h_n = ctc_prefix_beam_search_host(
+            np.asarray(lp), lens, beam_size=8, topk_tokens=4
+        )
+        # pruning order under f32 ties can legitimately differ; require the
+        # winning hypotheses to have (near-)equal CTC likelihood instead of
+        # identical token strings
+        def nll(ids, n):
+            ids = np.asarray(ids)
+            n = np.asarray(n)
+            S = max(int(n.max()), 1)
+            return np.asarray(
+                ctc_loss(
+                    jnp.asarray(lp), jnp.asarray(lens),
+                    jnp.asarray(ids[:, :S].astype(np.int32)), jnp.asarray(n.astype(np.int32)),
+                )
+            )
+
+        diff = np.abs(nll(d_ids, d_n) - nll(h_ids, h_n))
+        assert diff.max() < 0.3, diff
+
+
+def test_host_beam_matches_exhaustive(rng):
+    from jiao_liao_speech_recognition_tpu.decode.ctc import (
+        ctc_prefix_beam_search_host,
+    )
+
+    for _ in range(5):
+        T, V = 4, 3
+        lp = np.asarray(_rand_log_probs(rng, 1, T, V)[0])
+        want, _ = exhaustive_best_prefix(lp)
+        ids, n = ctc_prefix_beam_search_host(lp[None], np.array([T]), beam_size=32, topk_tokens=3)
+        assert tuple(ids[0][: int(n[0])]) == want
