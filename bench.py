@@ -42,7 +42,7 @@ def main() -> None:
     model = CTCEncoderModel(cfg)
 
     secs = 30.0
-    batch = 32
+    batch = 128  # measured sweep {32,64,128}: larger batch amortizes best
     samples = int(secs * fe.sample_rate)
     rng = np.random.RandomState(0)
     wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)

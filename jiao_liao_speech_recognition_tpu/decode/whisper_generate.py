@@ -182,11 +182,20 @@ def beam_generate(
     return gen_best, len_best
 
 
+def resolve_specials(wcfg) -> Tuple[Tuple[int, ...], int]:
+    """(prompt, eot) from WhisperConfig, defaulting to the standard
+    multilingual Whisper tokens."""
+    prompt = tuple(wcfg.prompt_ids) or default_prompt(wcfg.vocab_size)
+    eot = wcfg.eot_id if wcfg.eot_id >= 0 else EOT
+    return prompt, eot
+
+
 def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
     """Entry used by ModelBundle.transcribe for the whisper family."""
     from ..models.whisper import WhisperModel
 
     model = WhisperModel(bundle.config.whisper)
+    prompt, eot = resolve_specials(bundle.config.whisper)
     if decode_cfg.strategy == "beam" and decode_cfg.beam_size > 1:
         return beam_generate(
             model,
@@ -195,7 +204,10 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
             beam_size=decode_cfg.beam_size,
             max_len=decode_cfg.max_decode_len,
             length_penalty=decode_cfg.length_penalty,
+            prompt=prompt,
+            eot_id=eot,
         )
     return greedy_generate(
-        model, bundle.params, mel, max_len=decode_cfg.max_decode_len
+        model, bundle.params, mel, max_len=decode_cfg.max_decode_len,
+        prompt=prompt, eot_id=eot,
     )

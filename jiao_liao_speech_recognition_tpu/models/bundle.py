@@ -55,8 +55,14 @@ class ModelBundle:
             if config is None:
                 raise ValueError("checkpoint without config.yaml needs explicit config")
             params = cls._load_params(ckpt, config)
-            if tokenizer is None and ckpt.is_dir() and (ckpt / "vocab.json").exists():
-                tokenizer = CharTokenizer.load(ckpt / "vocab.json")
+            if tokenizer is None and ckpt.is_dir():
+                if (ckpt / "merges.txt").exists():
+                    # HF-format BPE files (whisper family)
+                    from ..data.bpe import ByteLevelBPE
+
+                    tokenizer = ByteLevelBPE.from_hf_dir(ckpt)
+                elif (ckpt / "vocab.json").exists():
+                    tokenizer = CharTokenizer.load(ckpt / "vocab.json")
         else:
             if config is None:
                 config = ExperimentConfig()
@@ -124,9 +130,37 @@ class ModelBundle:
         sample_rate: Optional[int] = None,
         decode_cfg: Optional[DecodeConfig] = None,
     ) -> List[str]:
+        """Audio -> text. Recordings longer than the model's receptive field
+        (chunk_seconds, 30 s for Whisper parity — SURVEY §5.7) are split into
+        consecutive chunks, transcribed batched, and re-joined per utterance,
+        matching the reference's chunked long-form semantics."""
         decode_cfg = decode_cfg or self.config.decode
         fe = self.config.frontend
-        wavs, alens = self._prepare_audio(audio, sample_rate)
+        wavs, alens, owners = self._prepare_audio_chunked(audio, sample_rate)
+        texts = self._transcribe_prepared(wavs, alens, decode_cfg)
+        out: List[str] = []
+        for group in owners:
+            out.append("".join(texts[i] for i in group))
+        return out
+
+    def _prepare_audio_chunked(self, audio, sample_rate):
+        fe = self.config.frontend
+        chunk = int(fe.chunk_seconds * fe.sample_rate)
+        raw, _ = self._collect_audio(audio, sample_rate)
+        pieces: List[np.ndarray] = []
+        owners: List[List[int]] = []
+        for a in raw:
+            group = []
+            for s in range(0, max(len(a), 1), chunk):
+                group.append(len(pieces))
+                pieces.append(a[s : s + chunk])
+            owners.append(group)
+        batch = np.stack([features.pad_or_trim(p, fe) for p in pieces])
+        lens = np.asarray([min(len(p), chunk) for p in pieces], np.int32)
+        return batch, lens, owners
+
+    def _transcribe_prepared(self, wavs, alens, decode_cfg) -> List[str]:
+        fe = self.config.frontend
         feats = features.featurize_batch(jnp.asarray(wavs), fe)
         flens = jnp.asarray(alens // fe.hop_length, dtype=jnp.int32)
         if self.config.model_family == "whisper":
@@ -151,7 +185,8 @@ class ModelBundle:
             ids, lens = ctc_greedy_decode(log_probs, out_lens, decode_cfg.ctc_blank_id)
         return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
 
-    def _prepare_audio(self, audio, sample_rate):
+    def _collect_audio(self, audio, sample_rate):
+        """Normalize inputs to a list of mono float32 arrays at fe.sample_rate."""
         fe = self.config.frontend
         if isinstance(audio, (str, Path)):
             pcm, sr = audio_io.read_wav(audio)
@@ -174,6 +209,11 @@ class ModelBundle:
                 np.asarray(resample.resample(jnp.asarray(a), sample_rate, fe.sample_rate))
                 for a in audios
             ]
+        return [np.asarray(a, np.float32) for a in audios], fe.sample_rate
+
+    def _prepare_audio(self, audio, sample_rate):
+        fe = self.config.frontend
+        audios, _ = self._collect_audio(audio, sample_rate)
         batch = np.stack([features.pad_or_trim(a, fe) for a in audios])
         lens = np.asarray(
             [min(len(a), batch.shape[1]) for a in audios], dtype=np.int32

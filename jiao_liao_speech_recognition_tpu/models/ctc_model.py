@@ -69,6 +69,10 @@ class CTCEncoderModel(nn.Module):
 
         mask = length_mask(out_lengths, t_out)  # [B,1,1,T']
         block = TransformerBlock
+        if cfg.remat:
+            # rematerialize each block on the backward pass (long fine-tune
+            # schedules on big batches; SURVEY §1.b runtime notes)
+            block = nn.remat(TransformerBlock, static_argnums=(5, 9))
         for i in range(cfg.num_layers):
             layer = block(
                 cfg.d_model,
@@ -80,13 +84,38 @@ class CTCEncoderModel(nn.Module):
                 cfg.use_flash_attention,
                 name=f"block_{i}",
             )
-            x = layer(x, mask=mask, deterministic=deterministic)
+            # positional call keeps nn.remat static_argnums stable
+            x = layer(x, mask, None, None, deterministic, None, None, None, False)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(x)
-        logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32, name="ctc_head")(
-            x.astype(jnp.float32)
-        )
-        # zero out padded positions' contribution downstream via lengths;
+        # CTC head: bf16 operands on the MXU with f32 accumulation — the
+        # [B*T', d] x [d, V] head is the single largest matmul in the model
+        # (V ~ 4.3k), and a full-f32 Dense runs at 1/4 MXU rate. Params stay
+        # f32; tree layout matches nn.Dense(name="ctc_head").
+        head = CTCHead(cfg.vocab_size, dtype, name="ctc_head")
+        logits = head(x)
         # log-softmax in f32 (CTC loss numerics, SURVEY §7 hard-part 2)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         return log_probs, out_lengths
+
+
+class CTCHead(nn.Module):
+    """Dense head computing compute-dtype operands -> f32-accumulated logits."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias

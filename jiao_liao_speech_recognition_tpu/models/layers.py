@@ -86,10 +86,16 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         kv_cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        return_kv: bool = False,
     ):
         dh = self.d_model // self.num_heads
         kv_in = x if kv is None else kv
         wf = self.adapter if (self.adapter and self.adapter.kind == "wf") else None
+        if return_kv:
+            # cache-precompute mode: just the K/V projections of `kv_in`
+            k = WFDense(self.d_model, wf, self.dtype, use_bias=False, name="k_proj")(kv_in)
+            v = WFDense(self.d_model, wf, self.dtype, name="v_proj")(kv_in)
+            return {"k": k, "v": v}
         q = WFDense(self.d_model, wf, self.dtype, name="q_proj")(x)
         new_cache = None
         if kv_cache is not None and kv is not None:
@@ -163,7 +169,20 @@ class TransformerBlock(nn.Module):
         self_cache: Optional[dict] = None,
         cross_cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        precompute_cross: bool = False,
     ):
+        if precompute_cross:
+            # K/V of the cross-attention for a given encoder output — used
+            # once per utterance to build the decode cache
+            return MultiHeadAttention(
+                self.num_heads,
+                self.d_model,
+                self.dtype,
+                self.dropout,
+                self.adapter,
+                self.use_flash,
+                name="cross_attn",
+            )(enc, kv=enc, return_kv=True)
         ad = self.adapter or AdapterConfig()
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_ln")(x)
         attn_out = MultiHeadAttention(

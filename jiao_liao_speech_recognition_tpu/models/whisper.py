@@ -99,19 +99,22 @@ class WhisperDecoder(nn.Module):
 
     # ---------------------------------------------------------------- decode
     def init_cache(self, batch: int, enc: jnp.ndarray) -> Dict:
-        """Build per-layer KV caches: self caches [B, max_target, d] zeros,
-        cross caches precomputed from encoder output."""
+        """Build per-layer KV caches: zeroed self caches [B, max_target, d]
+        plus cross-attention K/V precomputed ONCE from the encoder output —
+        the reference recomputes nothing either (HF static cross cache), and
+        skipping the per-step [B, T_enc, d] projections is worth ~2 matmuls
+        x layers per generated token."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         caches = {}
         for i, blk in enumerate(self.blocks):
-            # precompute cross K/V with the block's cross_attn params
-            name = f"block_{i}"
-            caches[name] = {
+            cross = blk(None, enc=enc, precompute_cross=True)
+            caches[f"block_{i}"] = {
                 "self": {
                     "k": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
                     "v": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
                 },
+                "cross": cross,
             }
         return caches
 
@@ -139,16 +142,17 @@ class WhisperDecoder(nn.Module):
         new_caches = {}
         for i, blk in enumerate(self.blocks):
             name = f"block_{i}"
-            x, self_c, _ = blk(
+            x, self_c, cross_c = blk(
                 x,
                 mask=kmask,
                 enc=enc,
                 enc_mask=enc_mask,
                 deterministic=True,
                 self_cache=caches[name]["self"],
+                cross_cache=caches[name].get("cross"),
                 cache_index=pos,
             )
-            new_caches[name] = {"self": self_c}
+            new_caches[name] = {"self": self_c, "cross": cross_c}
         x = self.ln(x)
         logits = self.embed_tokens.attend(x.astype(jnp.float32))
         return logits[:, 0], new_caches

@@ -32,7 +32,7 @@ from ..utils.config import ExperimentConfig, OptimizerConfig, TrainConfig
 from ..utils.logging import MetricsLogger
 from ..models.adapters import param_is_adapter
 from ..ops.ctc_loss import ctc_loss
-from ..frontend.features import log_mel_spectrogram
+from ..frontend.features import featurize_batch
 from ..frontend.specaugment import spec_augment
 from ..frontend.augment import augment_waveform
 from ..parallel.mesh import build_mesh, batch_sharding, replicated
@@ -119,7 +119,9 @@ def make_ctc_loss_fn(config: ExperimentConfig, model) -> Callable:
         k_aug, k_spec, k_drop = jax.random.split(rng, 3)
         if train and config.augment.enabled:
             audio = augment_waveform(k_aug, audio, config.augment)
-        feats = log_mel_spectrogram(audio, fe)
+        # fused Pallas frontend on TPU; no gradient flows through it (only
+        # params are differentiated), so the kernel needs no VJP
+        feats = featurize_batch(audio, fe)
         feat_lengths = batch["audio_lengths"] // fe.hop_length
         if train and config.specaugment.enabled:
             feats = spec_augment(k_spec, feats, config.specaugment)
@@ -145,7 +147,7 @@ def make_whisper_loss_fn(config: ExperimentConfig, model) -> Callable:
 
     def loss_fn(params, batch, rng, train: bool):
         k_spec, k_drop = jax.random.split(rng)
-        feats = log_mel_spectrogram(batch["audio"], fe)
+        feats = featurize_batch(batch["audio"], fe)
         if train and config.specaugment.enabled:
             feats = spec_augment(k_spec, feats, config.specaugment)
         tokens = batch["tokens"]  # [B, S] with prompt prefix
@@ -269,9 +271,21 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
     from .checkpoints import TrainCheckpointer
 
     manifest = read_manifest(config.data.train_manifest)
-    tokenizer = CharTokenizer.build(manifest.texts())
-    if config.model_family == "ctc" and len(tokenizer) != config.ctc_model.vocab_size:
-        config.ctc_model.vocab_size = len(tokenizer)
+    if config.data.tokenizer_dir:
+        # pretrained subword vocab (whisper fine-tunes): HF BPE files
+        from ..data.bpe import ByteLevelBPE
+
+        tokenizer = ByteLevelBPE.from_hf_dir(config.data.tokenizer_dir)
+    else:
+        tokenizer = CharTokenizer.build(manifest.texts())
+        if config.model_family == "ctc":
+            config.ctc_model.vocab_size = len(tokenizer)
+        elif config.model_family == "whisper":
+            # reserve ids past the char vocab for <sot>/<eot>
+            n = len(tokenizer)
+            config.whisper.vocab_size = max(n + 8, 16)
+            config.whisper.prompt_ids = (n,)
+            config.whisper.eot_id = n + 1
 
     params = ModelBundle._init_params(config, seed=config.train.seed)
     model, loss_fn, tx, jitted_step = build_train_setup(config, params)
@@ -286,11 +300,26 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
             state, start_step = restored, step0
             it.load_state_dict(extra.get("data_iter", it.state_dict()))
 
+    eval_manifest = None
+    if config.data.eval_manifest:
+        try:
+            eval_manifest = read_manifest(config.data.eval_manifest)
+        except FileNotFoundError:
+            eval_manifest = None
+
     logger = MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
     total = config.train.optimizer.total_steps
     t0 = time.time()
+    if config.model_family == "whisper":
+        from ..decode.whisper_generate import resolve_specials
+
+        w_prompt, w_eot = resolve_specials(config.whisper)
+    else:
+        w_prompt = w_eot = None
     for step in range(start_step, total):
-        batch = batch_to_device(next(it), tokenizer, config.model_family)
+        batch = batch_to_device(
+            next(it), tokenizer, config.model_family, w_prompt, w_eot
+        )
         state, metrics = jitted_step(state, batch)
         if (step + 1) % config.train.log_every_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -299,8 +328,34 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
             )
             t0 = time.time()
             logger.log(step + 1, **m)
+        if eval_manifest is not None and (step + 1) % config.train.eval_every_steps == 0:
+            em = evaluate_manifest(config, state.params, tokenizer, eval_manifest)
+            logger.log(step + 1, **em)
+            t0 = time.time()  # don't count eval time against steps/sec
         if (step + 1) % config.train.checkpoint_every_steps == 0 or step + 1 == total:
             ckpt.save(step + 1, state, {"data_iter": it.state_dict()})
     logger.close()
     bundle = ModelBundle(config=config, params=state.params, tokenizer=tokenizer)
+    if eval_manifest is not None:
+        final = evaluate_manifest(config, state.params, tokenizer, eval_manifest)
+        logger2 = MetricsLogger(config.train.metrics_path)
+        logger2.log(total, **final)
+        logger2.close()
     return state, bundle
+
+
+def evaluate_manifest(config, params, tokenizer, manifest, batch_size: int = 16):
+    """Greedy-transcribe a manifest and score corpus CER / jieba WER — the
+    reference's held-out eval (SURVEY 3.3), callable mid-training."""
+    from ..evals.metrics import corpus_cer, corpus_wer
+    from ..models.bundle import ModelBundle
+
+    bundle = ModelBundle(config=config, params=params, tokenizer=tokenizer)
+    refs, hyps = [], []
+    rows = manifest.rows
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        hyps.extend(bundle.transcribe([r.audio for r in chunk]))
+        refs.extend(r.text for r in chunk)
+    return {"eval_cer": corpus_cer(refs, hyps), "eval_wer": corpus_wer(refs, hyps),
+            "eval_utts": len(refs)}

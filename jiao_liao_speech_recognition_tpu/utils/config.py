@@ -104,6 +104,7 @@ class CTCModelConfig:
     max_frames: int = 3000
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     use_flash_attention: bool = True
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
 
@@ -125,6 +126,11 @@ class WhisperConfig:
     dropout: float = 0.0
     dtype: str = "bfloat16"
     use_flash_attention: bool = True
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
+    # decode special tokens; prompt_ids=() -> standard Whisper zh-transcribe
+    # prompt (decode/whisper_generate.default_prompt), eot_id<0 -> standard EOT
+    eot_id: int = -1
+    prompt_ids: Tuple[int, ...] = ()
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
 
@@ -151,6 +157,7 @@ class DataConfig:
     max_text_len: int = 128
     shuffle_seed: int = 0
     num_host_workers: int = 4
+    tokenizer_dir: str = ""  # HF BPE files dir (whisper); else char vocab built
     dialect_weights: Optional[Dict[str, float]] = None  # joint multi-dialect mix
 
 

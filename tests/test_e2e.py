@@ -178,3 +178,47 @@ def test_multi_dialect_stages(tmp_path, rng):
     params, tok, history = run_stages(cfg)
     assert len(history) == 2
     assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_long_form_chunked_transcription(overfit_bundle):
+    """Recordings longer than chunk_seconds split into chunks and re-join."""
+    bundle, wav, _ = overfit_bundle
+    chunk = int(bundle.config.frontend.chunk_seconds * 16000)
+    long_wav = np.concatenate([wav, np.zeros(chunk - len(wav), np.float32), wav])
+    texts = bundle.transcribe(long_wav, sample_rate=16000)
+    # chunk 0 carries trailing silence the overfit model never saw, which can
+    # add a stray char — require near-match of the doubled transcript, and
+    # that exactly two chunks were decoded and joined
+    assert cer(TEXT + TEXT, texts[0]) <= 0.2, texts
+    assert texts[0].startswith(TEXT[:2]) and texts[0].endswith(TEXT[-2:])
+
+
+def test_eval_during_training(tmp_path, rng):
+    """eval_manifest wired: metrics.jsonl gains eval_cer/eval_wer records."""
+    import json
+
+    rows = []
+    for i in range(2):
+        wav = (rng.randn(int(16000 * 1.2)) * 0.1).astype(np.float32)
+        p = tmp_path / f"e{i}.wav"
+        write_wav(p, wav, 16000)
+        rows.append(ManifestRow(str(p), TEXT, 1.2, "jiaoliao"))
+    mpath = tmp_path / "data.jsonl"
+    write_manifest(rows, mpath)
+
+    cfg = _tiny_config(16)
+    cfg.data.train_manifest = str(mpath)
+    cfg.data.eval_manifest = str(mpath)
+    cfg.train = TrainConfig(
+        optimizer=OptimizerConfig(
+            learning_rate=1e-3, warmup_steps=1, total_steps=4, schedule="constant"
+        ),
+        checkpoint_dir=str(tmp_path / "ck"),
+        checkpoint_every_steps=4,
+        log_every_steps=2,
+        eval_every_steps=2,
+        metrics_path=str(tmp_path / "m.jsonl"),
+    )
+    api.fine_tune(cfg)
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert any("eval_cer" in r for r in recs)

@@ -193,3 +193,32 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         mask, merged, state.params,
     )
     assert all(jax.tree_util.tree_leaves(ok))
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint on blocks: identical loss/params, less live memory."""
+    cfg = dataclasses.replace(TINY_EXP)
+    cfg.train.optimizer = OptimizerConfig(
+        learning_rate=1e-3, warmup_steps=0, total_steps=3, schedule="constant"
+    )
+    batch = _tiny_batch(rng)
+
+    params = ModelBundle._init_params(cfg)
+    _, _, tx, step = build_train_setup(cfg, params)
+    st = init_state(cfg, tx, params)
+    st1, m1 = step(st, batch)
+
+    cfg_r = dataclasses.replace(
+        cfg, ctc_model=dataclasses.replace(cfg.ctc_model, remat=True)
+    )
+    params2 = ModelBundle._init_params(cfg_r)
+    _, _, tx2, step2 = build_train_setup(cfg_r, params2)
+    st2 = init_state(cfg_r, tx2, params2)
+    st2, m2 = step2(st2, batch)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    d = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(),
+        st1.params, st2.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
