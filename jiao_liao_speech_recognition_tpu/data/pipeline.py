@@ -150,6 +150,63 @@ class BatchIterator:
         return Batch(audio, alen, labels, llen, texts, bucket_seconds)
 
 
+class PrefetchIterator:
+    """Background-thread prefetch wrapper around BatchIterator.
+
+    The reference overlaps host featurization with GPU compute via
+    DataLoader workers (SURVEY 3.1); here featurization is on-device, so the
+    host work is just wav decode + padding — one prefetch thread with a
+    small queue keeps the device fed. State save/restore delegates to the
+    wrapped iterator (pending prefetched batches are discarded on save,
+    which keeps resume exact: the cursor only advances when a batch is
+    *produced*, so a restored run replays the not-yet-consumed batches).
+    """
+
+    def __init__(self, inner: BatchIterator, depth: int = 2):
+        self.inner = inner
+        self.depth = depth
+        self._queue = None
+        self._thread = None
+        self._stop = None
+
+    def _ensure_started(self):
+        if self._thread is not None:
+            return
+        import queue
+        import threading
+
+        self._queue = queue.Queue(maxsize=self.depth)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                batch = next(self.inner)
+                state = self.inner.state_dict()  # state AFTER producing batch
+                self._queue.put((batch, state))
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        self._ensure_started()
+        batch, state = self._queue.get()
+        self._consumed_state = state
+        return batch
+
+    def state_dict(self) -> Dict:
+        # state as of the last batch handed to the trainer (not the last
+        # batch prefetched) — exact-resume safe
+        return getattr(self, "_consumed_state", self.inner.state_dict())
+
+    def load_state_dict(self, state: Dict) -> None:
+        # must be called before iteration starts (thread starts lazily)
+        assert self._thread is None, "load_state_dict after iteration started"
+        self.inner.load_state_dict(state)
+
+
 def make_batches(
     manifest: Manifest,
     tokenizer: CharTokenizer,

@@ -17,8 +17,6 @@ TPU-native replacement for the reference's accelerate/Trainer/Brain loop
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -26,16 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
-from ..utils.config import ExperimentConfig, OptimizerConfig, TrainConfig
+from ..utils.config import ExperimentConfig, OptimizerConfig
 from ..utils.logging import MetricsLogger
 from ..models.adapters import param_is_adapter
 from ..ops.ctc_loss import ctc_loss
 from ..frontend.features import featurize_batch
 from ..frontend.specaugment import spec_augment
 from ..frontend.augment import augment_waveform
-from ..parallel.mesh import build_mesh, batch_sharding, replicated
 
 
 class TrainState(struct.PyTreeNode):
@@ -265,7 +261,7 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
     """Full fine-tune loop (BASELINE configs[2]); multi-dialect stage
     scheduling (configs[3]) layers on top in train/schedules.py."""
     from ..data.manifest import read_manifest
-    from ..data.pipeline import BatchIterator
+    from ..data.pipeline import BatchIterator, PrefetchIterator
     from ..data.tokenizer import CharTokenizer
     from ..models.bundle import ModelBundle
     from .checkpoints import TrainCheckpointer
@@ -291,7 +287,7 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
     model, loss_fn, tx, jitted_step = build_train_setup(config, params)
     state = init_state(config, tx, params, config.train.seed)
 
-    it = BatchIterator(manifest, tokenizer, config.data)
+    it = PrefetchIterator(BatchIterator(manifest, tokenizer, config.data))
     ckpt = TrainCheckpointer(config.train.checkpoint_dir, config.train.keep_checkpoints)
     start_step = 0
     if resume:

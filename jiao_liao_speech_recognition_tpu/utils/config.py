@@ -95,7 +95,9 @@ class CTCModelConfig:
     vocab_size: int = 4336  # Mandarin char vocab + blank (see data/tokenizer)
     d_model: int = 512
     num_layers: int = 12
-    num_heads: int = 8
+    # 4 heads of dh=128: TPU lanes are 128-wide, so dh=64 heads waste half
+    # the MXU in attention and double the flash-kernel padding copies
+    num_heads: int = 4
     mlp_dim: int = 2048
     conv_channels: int = 512
     subsample_factor: int = 4  # two stride-2 convs: 3000 -> 750 frames

@@ -98,3 +98,23 @@ def test_mix_manifests():
     mix = mix_manifests({"jl": m1, "jr": m2}, {"jl": 3.0, "jr": 1.0}, seed=0)
     frac = sum(1 for r in mix.rows if r.text == "一") / len(mix.rows)
     assert 0.6 < frac < 0.9  # ~0.75 expected
+
+
+def test_prefetch_iterator_matches_and_resumes(corpus):
+    from jiao_liao_speech_recognition_tpu.data.pipeline import PrefetchIterator
+
+    m = read_manifest(corpus)
+    tok = CharTokenizer.build(m.texts())
+    cfg = DataConfig(batch_size=2, bucket_boundaries_seconds=(2.0, 5.0))
+    plain = BatchIterator(m, tok, cfg)
+    pf = PrefetchIterator(BatchIterator(m, tok, cfg))
+    seq_a = [next(plain).texts for _ in range(6)]
+    seq_b = [next(pf).texts for _ in range(6)]
+    assert seq_a == seq_b
+    # resume from prefetcher's consumed-state: replay continues exactly
+    state = pf.state_dict()
+    pf2 = PrefetchIterator(BatchIterator(m, tok, cfg))
+    pf2.load_state_dict(state)
+    nxt_plain = [next(plain).texts for _ in range(3)]
+    nxt_pf = [next(pf2).texts for _ in range(3)]
+    assert nxt_plain == nxt_pf
