@@ -196,6 +196,19 @@ def build_train_setup(config: ExperimentConfig, params, mesh=None):
     else:
         loss_fn = make_whisper_loss_fn(config, model)
     mask = adapter_mask(params) if config.train.train_adapters_only else None
+    if mask is not None:
+        # stop_gradient on frozen leaves: the optimizer masking alone still
+        # COMPUTES full backbone weight-gradients and throws them away; this
+        # lets XLA dead-code-eliminate the dW matmuls (~1/3 of backward
+        # FLOPs) while activation gradients still flow to reach adapters
+        inner_loss = loss_fn
+
+        def loss_fn(p, batch, rng, train):
+            p_eff = jax.tree_util.tree_map(
+                lambda m, x: x if m else jax.lax.stop_gradient(x), mask, p
+            )
+            return inner_loss(p_eff, batch, rng, train)
+
     tx = make_optimizer(config.train.optimizer, mask)
     step_fn = make_train_step(loss_fn, tx)
 
@@ -312,6 +325,17 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
         w_prompt, w_eot = resolve_specials(config.whisper)
     else:
         w_prompt = w_eot = None
+
+    # graceful preemption (SURVEY §5.3): a SIGTERM (maintenance event /
+    # scheduler preemption) checkpoints before exiting so resume is exact
+    import signal
+
+    terminated = {"flag": False}
+
+    def _on_term(signum, frame):
+        terminated["flag"] = True
+
+    old_handler = signal.signal(signal.SIGTERM, _on_term)
     for step in range(start_step, total):
         batch = batch_to_device(
             next(it), tokenizer, config.model_family, w_prompt, w_eot
@@ -328,8 +352,16 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
             em = evaluate_manifest(config, state.params, tokenizer, eval_manifest)
             logger.log(step + 1, **em)
             t0 = time.time()  # don't count eval time against steps/sec
-        if (step + 1) % config.train.checkpoint_every_steps == 0 or step + 1 == total:
+        if (
+            (step + 1) % config.train.checkpoint_every_steps == 0
+            or step + 1 == total
+            or terminated["flag"]
+        ):
             ckpt.save(step + 1, state, {"data_iter": it.state_dict()})
+        if terminated["flag"]:
+            logger.log(step + 1, event="sigterm_checkpoint_and_exit")
+            break
+    signal.signal(signal.SIGTERM, old_handler)
     logger.close()
     bundle = ModelBundle(config=config, params=state.params, tokenizer=tokenizer)
     if eval_manifest is not None:
