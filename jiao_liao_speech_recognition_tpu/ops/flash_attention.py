@@ -89,6 +89,13 @@ def _flash_forward(q, k, v, kv_lengths, causal):
     tq_pad = max(-(-Tq // BLOCK_Q) * BLOCK_Q, BLOCK_Q)
     tk_pad = max(-(-Tk // BLOCK_K) * BLOCK_K, BLOCK_K)
     dh_pad = max(-(-Dh // 128) * 128, 128)
+    interpret = jax.default_backend() != "tpu"  # CPU tests run the interpreter
+    scale = 1.0 / np.sqrt(Dh)
+    lens_b = jnp.minimum(kv_lengths.astype(jnp.int32), Tk)
+
+    # fold heads into batch: one transpose in, one out. (A copy-free
+    # [B,T,H,D]-native grid was tried and rejected by Mosaic — the per-head
+    # block dim of 1 lands in the sublane slot, which must be 8-divisible.)
     qp = jnp.pad(q, ((0, 0), (0, tq_pad - Tq), (0, 0), (0, dh_pad - Dh)))
     kp = jnp.pad(k, ((0, 0), (0, tk_pad - Tk), (0, 0), (0, dh_pad - Dh)))
     vp = jnp.pad(v, ((0, 0), (0, tk_pad - Tk), (0, 0), (0, dh_pad - Dh)))
@@ -97,11 +104,9 @@ def _flash_forward(q, k, v, kv_lengths, causal):
         return x.transpose(0, 2, 1, 3).reshape(B * H, t, dh_pad)
 
     qb, kb_, vb = bh(qp, tq_pad), bh(kp, tk_pad), bh(vp, tk_pad)
-    lens = jnp.repeat(jnp.minimum(kv_lengths.astype(jnp.int32), Tk), H, axis=0)
+    lens = jnp.repeat(lens_b, H, axis=0)
 
-    scale = 1.0 / np.sqrt(Dh)
     grid = (B * H, tq_pad // BLOCK_Q)
-    interpret = jax.default_backend() != "tpu"  # CPU tests run the interpreter
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # lens -> SMEM, available before the body
         grid=grid,
@@ -118,18 +123,13 @@ def _flash_forward(q, k, v, kv_lengths, causal):
         out_shape=jax.ShapeDtypeStruct((B * H, tq_pad, dh_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * tq_pad * tk_pad * dh_pad,
-            bytes_accessed=(qb.size + kb_.size + vb.size + out_size(B, H, tq_pad, dh_pad))
-            * q.dtype.itemsize,
+            bytes_accessed=(qb.size + kb_.size + vb.size) * q.dtype.itemsize,
             transcendentals=B * H * tq_pad * tk_pad,
         ),
         interpret=interpret,
     )(lens, qb, kb_, vb)
     out = out.reshape(B, H, tq_pad, dh_pad).transpose(0, 2, 1, 3)
     return out[:, :Tq, :, :Dh]
-
-
-def out_size(B, H, tq, dh):
-    return B * H * tq * dh
 
 
 def _reference_attention(q, k, v, kv_lengths, causal):

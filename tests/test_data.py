@@ -118,3 +118,29 @@ def test_prefetch_iterator_matches_and_resumes(corpus):
     nxt_plain = [next(plain).texts for _ in range(3)]
     nxt_pf = [next(pf2).texts for _ in range(3)]
     assert nxt_plain == nxt_pf
+
+
+def test_config_yaml_roundtrip_and_overrides(tmp_path):
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        ExperimentConfig, apply_overrides, load_yaml, save_yaml,
+    )
+
+    cfg = ExperimentConfig()
+    save_yaml(cfg, str(tmp_path / "c.yaml"))
+    back = load_yaml(str(tmp_path / "c.yaml"))
+    assert back == cfg
+
+    # numeric coercion: PyYAML parses "3e-3" as str (no dot) — override
+    # parsing must coerce it (found driving the CLI on TPU)
+    cfg2 = apply_overrides(cfg, ["train.optimizer.learning_rate=3e-3",
+                                 "ctc_model.num_layers=6",
+                                 "data.bucket_boundaries_seconds=[2.0, 4.0]"])
+    assert cfg2.train.optimizer.learning_rate == 3e-3
+    assert isinstance(cfg2.train.optimizer.learning_rate, float)
+    assert cfg2.ctc_model.num_layers == 6
+    assert cfg2.data.bucket_boundaries_seconds == (2.0, 4.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        apply_overrides(cfg, ["train.optimizzer.lr=1"])

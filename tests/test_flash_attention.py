@@ -68,3 +68,22 @@ def test_flash_gradients(rng):
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
+
+
+def test_flash_native_layout_dh128(rng):
+    """Dh=128 takes the copy-free [B,T,H,D] grid path; parity holds."""
+    B, T, H, D = 2, 300, 3, 128
+    q, k, v = _qkv(rng, B, T, H, D)
+    lens = jnp.asarray([300, 200], jnp.int32)
+    got = flash_attention(q, k, v, kv_lengths=lens)
+    want = _reference_attention(q, k, v, lens, causal=False)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-3
+
+
+def test_flash_native_layout_causal(rng):
+    B, T, H, D = 1, 256, 2, 128
+    q, k, v = _qkv(rng, B, T, H, D)
+    lens = jnp.full((B,), T, jnp.int32)
+    got = flash_attention(q, k, v, kv_lengths=lens, causal=True)
+    want = _reference_attention(q, k, v, lens, causal=True)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 2e-3
