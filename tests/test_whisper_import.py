@@ -106,3 +106,49 @@ def test_whisper_import_logit_parity(hf_whisper, rng):
     assert got.shape == ref.shape
     err = np.abs(got - ref).max()
     assert err < 2e-4, f"logit mismatch {err}"
+
+
+def test_generate_token_parity_with_transformers(hf_whisper, rng):
+    """BASELINE text-level parity: our lax.while_loop greedy decode produces
+    the same token sequence as transformers' generate() on the same imported
+    weights and mel input."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import greedy_generate
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    model_t, hf_cfg, ckpt_dir = hf_whisper
+    cfg = WhisperConfig(
+        vocab_size=200, num_mels=80, d_model=64, encoder_layers=2,
+        decoder_layers=2, num_heads=4, mlp_dim=128, max_source_positions=150,
+        max_target_positions=32, dtype="float32", use_flash_attention=False,
+    )
+    params = load_hf_whisper(ckpt_dir, cfg)
+
+    mel = rng.randn(2, 80, 300).astype(np.float32) * 0.5
+    max_new = 12
+
+    with torch.no_grad():
+        ref_ids = model_t.generate(
+            input_features=torch.tensor(mel),
+            max_new_tokens=max_new,
+            do_sample=False,
+            num_beams=1,
+        ).numpy()
+    # HF output row: [decoder_start(=1), generated..., eos?(=2)]
+
+    model_j = WhisperModel(cfg)
+    with jax.default_matmul_precision("highest"):
+        gen, lengths = greedy_generate(
+            model_j, params, jnp.asarray(mel), max_len=max_new + 1,
+            prompt=(1,), eot_id=2,
+        )
+    for b in range(2):
+        ours = list(np.asarray(gen)[b][: int(lengths[b])])
+        ref = [int(t) for t in ref_ids[b][1:] if t != 2][:max_new]
+        # HF's max_new_tokens accounting can differ by one at the horizon;
+        # parity means identical tokens along the common prefix
+        n = min(len(ours), len(ref))
+        assert n >= max_new - 2, (b, ours, ref)
+        assert [int(t) for t in ours[:n]] == ref[:n], (b, ours, ref)
