@@ -64,18 +64,25 @@ def cmd_transcribe(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    import dataclasses
+
     from .api import load
     from .data.manifest import read_manifest
     from .evals import corpus_cer, corpus_wer
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
+    decode_cfg = dataclasses.replace(
+        bundle.config.decode, strategy=args.decode, beam_size=args.beam_size
+    )
     manifest = read_manifest(args.manifest)
     refs, hyps = [], []
     B = args.batch_size
     rows = manifest.rows
     for i in range(0, len(rows), B):
         chunk = rows[i : i + B]
-        hyps.extend(bundle.transcribe([r.audio for r in chunk]))
+        hyps.extend(
+            bundle.transcribe([r.audio for r in chunk], decode_cfg=decode_cfg)
+        )
         refs.extend(r.text for r in chunk)
     result = {
         "cer": corpus_cer(refs, hyps),
@@ -129,6 +136,8 @@ def main(argv=None) -> int:
     pe.add_argument("--checkpoint")
     pe.add_argument("--config")
     pe.add_argument("--batch-size", type=int, default=16)
+    pe.add_argument("--decode", default="greedy", choices=["greedy", "beam", "beam_device"])
+    pe.add_argument("--beam-size", type=int, default=8)
     pe.set_defaults(fn=cmd_evaluate)
 
     pf = sub.add_parser("featurize", help="audio -> log-mel .npy")
