@@ -64,6 +64,11 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--outdir", default="/tmp/jl_demo")
     ap.add_argument("--target-steps", type=int, default=150)
+    ap.add_argument(
+        "--compare-adapters", action="store_true",
+        help="run stage 2 once per adapter kind (wf/att/bottleneck) from the "
+             "same stage-1 params — the paper's comparison (README.md:1)",
+    )
     args = ap.parse_args()
 
     out = Path(args.outdir)
@@ -122,12 +127,48 @@ def main() -> None:
     zero_shot = evaluate_manifest(cfg1, params1, tokenizer, test_m)
     print(json.dumps({"after_neighbor_only": zero_shot}, ensure_ascii=False))
 
-    # stage 2: adapter-only adaptation on the low-resource target
-    cfg2 = dataclasses.replace(cfg, stages=(stage2,))
-    params2, tokenizer, hist2 = run_stages(cfg2, params=params1, tokenizer=tokenizer)
-    print(json.dumps({"stage2": hist2}, ensure_ascii=False))
-    adapted = evaluate_manifest(cfg2, params2, tokenizer, test_m)
-    print(json.dumps({"after_adaptation": adapted}, ensure_ascii=False))
+    # stage 2: adapter-only adaptation on the low-resource target.
+    # snapshot stage-1 params to host first: the jitted train step donates
+    # its input buffers, so device arrays grafted into one stage-2 run would
+    # be deleted before the next adapter kind's run
+    import jax as _jax
+
+    params1 = _jax.tree_util.tree_map(np.asarray, params1)
+    kinds = ["wf", "att", "bottleneck"] if args.compare_adapters else ["wf"]
+    for kind in kinds:
+        cfg2 = dataclasses.replace(
+            cfg,
+            ctc_model=dataclasses.replace(
+                cfg.ctc_model,
+                adapter=dataclasses.replace(cfg.ctc_model.adapter, kind=kind),
+            ),
+            stages=(stage2,),
+        )
+        # Stage-1 params carry the stage-1 adapter modules in the tree; for a
+        # fair comparison re-init with THIS adapter kind and graft the shared
+        # backbone leaves over (fresh adapters keep their identity init).
+        import jax
+
+        from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+
+        from jiao_liao_speech_recognition_tpu.models.adapters import param_is_adapter
+
+        fresh = ModelBundle._init_params(cfg2)
+        p1_map = {
+            jax.tree_util.keystr(kp): v
+            for kp, v in jax.tree_util.tree_leaves_with_path(params1)
+        }
+
+        def _graft(kp, leaf):
+            keys = tuple(str(getattr(k, "key", k)) for k in kp)
+            if param_is_adapter(keys):
+                return leaf  # every kind starts from its identity init
+            return p1_map.get(jax.tree_util.keystr(kp), leaf)
+
+        merged = jax.tree_util.tree_map_with_path(_graft, fresh)
+        params2, tokenizer, hist2 = run_stages(cfg2, params=merged, tokenizer=tokenizer)
+        adapted = evaluate_manifest(cfg2, params2, tokenizer, test_m)
+        print(json.dumps({f"after_adaptation_{kind}": adapted}, ensure_ascii=False))
 
 
 if __name__ == "__main__":
