@@ -1,0 +1,81 @@
+"""CLI surface tests: train -> transcribe -> evaluate -> featurize in-process
+on a tiny corpus (the reference's recipe-script surface, SURVEY.md L6)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from jiao_liao_speech_recognition_tpu import cli
+from jiao_liao_speech_recognition_tpu.data import ManifestRow, write_manifest
+from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+from jiao_liao_speech_recognition_tpu.utils.config import (
+    ExperimentConfig,
+    save_yaml,
+)
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(4):
+        wav = (rng.randn(int(16000 * 1.2)) * 0.1).astype(np.float32)
+        p = tmp / f"u{i}.wav"
+        write_wav(p, wav, 16000)
+        rows.append(ManifestRow(str(p), "你好世界", 1.2, "jiaoliao"))
+    write_manifest(rows, tmp / "train.jsonl")
+    save_yaml(ExperimentConfig(), str(tmp / "base.yaml"))
+    return tmp
+
+
+def _overrides(tmp):
+    return [
+        f"data.train_manifest={tmp}/train.jsonl",
+        "data.batch_size=2",
+        "data.bucket_boundaries_seconds=[2.0]",
+        "data.min_audio_seconds=0.1",
+        "frontend.chunk_seconds=2.0",
+        "ctc_model.d_model=64",
+        "ctc_model.num_layers=1",
+        "ctc_model.num_heads=4",
+        "ctc_model.mlp_dim=128",
+        "ctc_model.conv_channels=32",
+        "ctc_model.use_flash_attention=false",
+        "train.optimizer.total_steps=4",
+        "train.optimizer.warmup_steps=1",
+        "train.optimizer.learning_rate=1e-3",
+        f"train.checkpoint_dir={tmp}/ckpt",
+        "train.checkpoint_every_steps=4",
+        "train.log_every_steps=2",
+        f"train.metrics_path={tmp}/metrics.jsonl",
+    ]
+
+
+def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
+    tmp = cli_env
+    rc = cli.main(["train", "--config", str(tmp / "base.yaml"), *_overrides(tmp)])
+    assert rc == 0
+    assert (tmp / "ckpt" / "final" / "config.yaml").exists()
+    capsys.readouterr()
+
+    rc = cli.main(["transcribe", str(tmp / "u0.wav"), "--checkpoint", str(tmp / "ckpt" / "final")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert set(rec) == {"audio", "text"} and isinstance(rec["text"], str)
+
+    rc = cli.main([
+        "evaluate", "--manifest", str(tmp / "train.jsonl"),
+        "--checkpoint", str(tmp / "ckpt" / "final"), "--batch-size", "4",
+        "--decode", "beam", "--beam-size", "2",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= res["cer"] and res["utterances"] == 4
+
+    rc = cli.main(["featurize", str(tmp / "u0.wav"), "--output", str(tmp / "f.npy")])
+    assert rc == 0
+    feats = np.load(tmp / "f.npy")
+    assert feats.shape[1] == 80
