@@ -1,0 +1,234 @@
+"""Whisper-large-v3 scale proof (SURVEY §7 hard-part 5; BASELINE configs[4]).
+
+Two modes:
+
+  --mode cpu8   Random-init the REAL large-v3 shape (d=1280, 32+32 layers,
+                128 mels, ~1.55 B params), shard it DP(2) x FSDP(2) x TP(2)
+                over a virtual 8-device CPU mesh — params via the combined
+                Megatron-column/row + FSDP rules, optimizer state ZeRO-style
+                — and run ONE adapter-only production train step on short
+                audio. Proves the sharded train graph compiles and executes
+                at full parameter scale without 8 real chips.
+
+  --mode tpu    On the real chip: bench the large-v3 encoder forward and the
+                AR greedy decode (lax.while_loop, KV-cached) at batch sizes
+                that fit a single v5e HBM; report encoder RTFx and decode
+                tokens/s. Methodology follows bench.py (distinct buffers,
+                hard host sync per timed iteration).
+
+Results are recorded in docs/PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _large_v3_config(adapter_kind: str = "wf"):
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        AdapterConfig,
+        ExperimentConfig,
+        FrontendConfig,
+        MeshConfig,
+        SpecAugmentConfig,
+        whisper_preset,
+    )
+
+    w = whisper_preset("large-v3")
+    w.adapter = AdapterConfig(kind=adapter_kind, wf_rank=8)
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=w,
+        frontend=FrontendConfig(num_mels=128, chunk_seconds=2.0),
+        specaugment=SpecAugmentConfig(enabled=False),
+        mesh=MeshConfig(data_axis=2, fsdp_axis=2, model_axis=2),
+    )
+    cfg.train.train_adapters_only = True
+    return cfg
+
+
+def run_cpu8() -> None:
+    import jax
+
+    if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
+        raise RuntimeError("run under JAX_PLATFORMS=cpu with 8 forced host devices")
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.parallel.mesh import (
+        build_mesh,
+        opt_state_sharding,
+        replicated,
+        shard_batch,
+    )
+    from jiao_liao_speech_recognition_tpu.parallel.tp_rules import fsdp_tp_sharding
+    from jiao_liao_speech_recognition_tpu.train.engine import (
+        build_train_setup,
+        init_state,
+    )
+
+    cfg = _large_v3_config()
+    mesh = build_mesh(cfg.mesh, jax.devices()[:8])
+    print(f"mesh: {dict(mesh.shape)}", flush=True)
+
+    t0 = time.time()
+    params = ModelBundle._init_params(cfg)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"init: {n_params/1e9:.2f} B params in {time.time()-t0:.0f}s", flush=True)
+
+    model, loss_fn, tx, jitted_step = build_train_setup(cfg, params, mesh)
+    state = init_state(cfg, tx, params)
+    psh = fsdp_tp_sharding(mesh, state.params)
+    state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, psh),
+        opt_state=jax.device_put(
+            state.opt_state, opt_state_sharding(mesh, state.opt_state)
+        ),
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
+    n_tp = sum(
+        1 for s in jax.tree_util.tree_leaves(psh) if "model" in str(s.spec)
+    )
+    n_fsdp = sum(
+        1 for s in jax.tree_util.tree_leaves(psh) if "fsdp" in str(s.spec)
+    )
+    print(f"shardings: {n_tp} TP leaves, {n_fsdp} FSDP leaves", flush=True)
+
+    B, secs = 4, 2.0
+    samples = int(secs * cfg.frontend.sample_rate)
+    rng = np.random.RandomState(0)
+    S = 8
+    eot = 50257
+    toks = np.full((B, S), eot, np.int32)
+    toks[:, 0] = 50258
+    tgts = np.full((B, S), -100, np.int32)
+    tgts[:, :4] = rng.randint(100, 1000, (B, 4))
+    batch = shard_batch(mesh, {
+        "audio": rng.randn(B, samples).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((B,), samples, np.int32),
+        "labels": np.zeros((B, 4), np.int32),
+        "label_lengths": np.full((B,), 4, np.int32),
+        "tokens": toks,
+        "targets": tgts,
+    })
+    t0 = time.time()
+    state, metrics = jitted_step(state, batch)
+    loss = float(metrics["loss"])
+    print(
+        json.dumps({
+            "mode": "cpu8", "ok": bool(np.isfinite(loss)), "loss": round(loss, 4),
+            "params_b": round(n_params / 1e9, 3),
+            "step_plus_compile_s": round(time.time() - t0, 1),
+            "mesh": dict(mesh.shape),
+        }),
+        flush=True,
+    )
+
+
+def run_tpu(enc_batch: int = 16, dec_batch: int = 8, max_len: int = 64) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        default_prompt,
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+    from jiao_liao_speech_recognition_tpu.utils.config import FrontendConfig
+
+    cfg = _large_v3_config()
+    cfg.frontend = FrontendConfig(num_mels=128)  # full 30 s receptive field
+    model = WhisperModel(cfg.whisper)
+    t0 = time.time()
+    params = ModelBundle._init_params(cfg)
+    print(f"init {time.time()-t0:.0f}s", flush=True)
+
+    fe = cfg.frontend
+    secs = 30.0
+    samples = int(secs * fe.sample_rate)
+    rng = np.random.RandomState(0)
+
+    # ---- encoder forward RTFx ----
+    @jax.jit
+    def encode(params, wav):
+        mel = featurize_batch(wav, fe)
+        return model.apply({"params": params}, mel, method=model.encode)
+
+    wavs = [
+        jnp.asarray(rng.randn(enc_batch, samples).astype(np.float32) * 0.1)
+        for _ in range(2)
+    ]
+    jax.block_until_ready(wavs)
+    t0 = time.time()
+    for w in wavs:
+        _ = float(jnp.sum(encode(params, w)[:, 0, 0]))
+    print(f"encoder compile+warm {time.time()-t0:.0f}s", flush=True)
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = encode(params, wavs[i % 2])
+        _ = float(jnp.sum(out[:, 0, 0]))  # hard sync, tiny readback
+    dt = time.perf_counter() - t0
+    enc_rtfx = secs * enc_batch * iters / dt
+    print(json.dumps({"mode": "tpu", "metric": "encoder_rtfx",
+                      "batch": enc_batch, "value": round(enc_rtfx, 1)}), flush=True)
+
+    # ---- AR greedy decode tokens/s ----
+    prompt = default_prompt(cfg.whisper.vocab_size)
+
+    @jax.jit
+    def decode(params, wav):
+        mel = featurize_batch(wav, fe)
+        return greedy_generate(model, params, mel, max_len=max_len, prompt=prompt)
+
+    wavs_d = [
+        jnp.asarray(rng.randn(dec_batch, samples).astype(np.float32) * 0.1)
+        for _ in range(2)
+    ]
+    jax.block_until_ready(wavs_d)
+    t0 = time.time()
+    for w in wavs_d:
+        gen, n = decode(params, w)
+        _ = int(np.asarray(n).sum())
+    print(f"decode compile+warm {time.time()-t0:.0f}s", flush=True)
+    iters = 4
+    tok_count = 0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        gen, n = decode(params, wavs_d[i % 2])
+        # random weights rarely emit EOT: counts ~= max_len per utterance
+        tok_count += int(np.asarray(n).sum())
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "tpu", "metric": "greedy_tokens_per_sec", "batch": dec_batch,
+        "value": round(tok_count / dt, 1),
+        "decode_rtfx": round(secs * dec_batch * iters / dt, 1),
+        "max_len": max_len,
+    }), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["cpu8", "tpu"], required=True)
+    ap.add_argument("--enc-batch", type=int, default=16)
+    ap.add_argument("--dec-batch", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=64)
+    args = ap.parse_args()
+    if args.mode == "cpu8":
+        run_cpu8()
+    else:
+        run_tpu(args.enc_batch, args.dec_batch, args.max_len)
+
+
+if __name__ == "__main__":
+    main()

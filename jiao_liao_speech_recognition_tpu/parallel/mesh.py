@@ -43,6 +43,39 @@ def build_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = N
     return Mesh(arr, cfg.axis_names)
 
 
+def build_mesh_for_batch(
+    cfg: Optional[MeshConfig], batch_size: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a mesh whose ('data','fsdp') product divides the batch size.
+
+    With data_axis=-1 (auto), the data axis is the largest device count whose
+    product with fsdp divides batch_size — so small debug batches run on a
+    sub-mesh instead of erroring, while production batches (divisible by the
+    device count) use every chip. An explicit data_axis is honored verbatim.
+    """
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    fsdp = max(cfg.fsdp_axis, 1)
+    model = max(cfg.model_axis, 1)
+    if cfg.data_axis > 0:
+        need = cfg.data_axis * fsdp * model
+        if need > len(devices):
+            raise ValueError(
+                f"mesh needs {need} devices but only {len(devices)} available"
+            )
+        return build_mesh(cfg, devices[:need])
+    avail = len(devices) // (fsdp * model)
+    data = 1
+    for d in range(avail, 0, -1):
+        if batch_size % (d * fsdp) == 0:
+            data = d
+            break
+    import dataclasses
+
+    sub = devices[: data * fsdp * model]
+    return build_mesh(dataclasses.replace(cfg, data_axis=data), sub)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -53,31 +86,71 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "fsdp")))
 
 
-def param_sharding(mesh: Mesh, params: Any) -> Any:
-    """FSDP-style parameter sharding rules.
+def _fsdp_rule(mesh: Mesh):
+    """Shape -> NamedSharding rule for FSDP leaves.
 
-    Policy: shard the largest axis of every >=2D param over 'fsdp' when its
+    Policy: shard the largest axis of every >=2D array over 'fsdp' when its
     size is divisible by the axis length (XLA re-gathers per-layer); smaller
-    params replicate. 'model' axis sharding (TP) is layered on in
-    parallel/tp_rules.py for the whisper-large decoder.
+    arrays replicate. The rule is a pure function of the leaf SHAPE, which is
+    what lets optimizer state (Adam mu/nu mirror the param shapes) pick up
+    byte-identical shardings without any tree-structure bookkeeping.
     """
     fsdp_n = mesh.shape["fsdp"]
+    repl = NamedSharding(mesh, P())
 
     def rule(p):
-        if p.ndim < 2 or fsdp_n == 1:
-            return NamedSharding(mesh, P())
+        if getattr(p, "ndim", 0) < 2 or fsdp_n == 1:
+            return repl
         shape = p.shape
         axis = int(np.argmax(shape))
         if shape[axis] % fsdp_n == 0:
             spec = [None] * p.ndim
             spec[axis] = "fsdp"
             return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        return repl
 
-    return jax.tree_util.tree_map(rule, params)
+    return rule
+
+
+def param_sharding(mesh: Mesh, params: Any) -> Any:
+    """FSDP-style parameter sharding rules (see _fsdp_rule). 'model' axis
+    sharding (TP) is layered on in parallel/tp_rules.py for whisper-large."""
+    return jax.tree_util.tree_map(_fsdp_rule(mesh), params)
+
+
+def opt_state_sharding(mesh: Mesh, opt_state: Any) -> Any:
+    """ZeRO-style optimizer-state sharding (SURVEY §2.3 "FSDP-style
+    param+optimizer sharding").
+
+    Adam mu/nu (and MultiSteps grad accumulators) are param-shaped, so the
+    shape-deterministic _fsdp_rule assigns them exactly the sharding of the
+    param they track; scalar counts and schedule state replicate. Adam state
+    is 2x params — this is the main memory win for large-v3 fine-tunes.
+    """
+    return jax.tree_util.tree_map(_fsdp_rule(mesh), opt_state)
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Device-put a TrainState with FSDP param+opt sharding, replicating
+    scalars (step, rng). The single entry point production training uses."""
+    return state.replace(
+        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
+        opt_state=jax.device_put(state.opt_state, opt_state_sharding(mesh, state.opt_state)),
+        step=jax.device_put(state.step, replicated(mesh)),
+        rng=jax.device_put(state.rng, replicated(mesh)),
+    )
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with leading-axis sharding."""
+    """Device-put a host batch with leading-axis sharding. Ragged batches
+    (a tiny final/partial batch not divisible by the data axes) fall back to
+    replication — still correct, just without DP speedup for that batch."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    n = mesh.shape["data"] * mesh.shape["fsdp"]
+    repl = replicated(mesh)
+
+    def put(x):
+        divisible = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, sh if divisible else repl)
+
+    return jax.tree_util.tree_map(put, batch)

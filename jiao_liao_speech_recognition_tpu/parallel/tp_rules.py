@@ -64,3 +64,32 @@ def apply_tp(mesh: Mesh, params: Any) -> Any:
     """device_put the params with TP shardings."""
     sh = tp_param_sharding(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def fsdp_tp_sharding(mesh: Mesh, params: Any) -> Any:
+    """Combined rules for large backbones: TP (Megatron column/row) where a
+    rule matches, FSDP largest-axis sharding otherwise — the whisper-large-v3
+    layout (SURVEY §2.3). A TP'd kernel additionally FSDP-shards its
+    replicated axis when divisible, so weights scale with BOTH axes."""
+    from .mesh import _fsdp_rule
+
+    tp = tp_param_sharding(mesh, params)
+    fsdp_n = mesh.shape["fsdp"]
+    base = _fsdp_rule(mesh)
+
+    def merge(p, tpsh):
+        spec = tuple(tpsh.spec) + (None,) * (p.ndim - len(tpsh.spec))
+        if all(s is None for s in spec):
+            return base(p)
+        if fsdp_n > 1 and p.ndim >= 2:
+            # shard the largest non-TP axis over fsdp too
+            free = [i for i, s in enumerate(spec) if s is None]
+            if free:
+                ax = max(free, key=lambda i: p.shape[i])
+                if p.shape[ax] % fsdp_n == 0:
+                    spec = tuple(
+                        "fsdp" if i == ax else s for i, s in enumerate(spec)
+                    )
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(merge, params, tp)

@@ -270,53 +270,76 @@ def batch_to_device(
     return out
 
 
-def run_experiment(config: ExperimentConfig, resume: bool = False):
-    """Full fine-tune loop (BASELINE configs[2]); multi-dialect stage
-    scheduling (configs[3]) layers on top in train/schedules.py."""
-    from ..data.manifest import read_manifest
-    from ..data.pipeline import BatchIterator, PrefetchIterator
+def build_tokenizer_for(config: ExperimentConfig, manifest):
+    """Tokenizer per config: pretrained BPE dir or a char vocab over the
+    manifest texts (resizing the model vocab to match)."""
     from ..data.tokenizer import CharTokenizer
-    from ..models.bundle import ModelBundle
-    from .checkpoints import TrainCheckpointer
 
-    manifest = read_manifest(config.data.train_manifest)
     if config.data.tokenizer_dir:
         # pretrained subword vocab (whisper fine-tunes): HF BPE files
         from ..data.bpe import ByteLevelBPE
 
-        tokenizer = ByteLevelBPE.from_hf_dir(config.data.tokenizer_dir)
-    else:
-        tokenizer = CharTokenizer.build(manifest.texts())
-        if config.model_family == "ctc":
-            config.ctc_model.vocab_size = len(tokenizer)
-        elif config.model_family == "whisper":
-            # reserve ids past the char vocab for <sot>/<eot>
-            n = len(tokenizer)
-            config.whisper.vocab_size = max(n + 8, 16)
-            config.whisper.prompt_ids = (n,)
-            config.whisper.eot_id = n + 1
+        return ByteLevelBPE.from_hf_dir(config.data.tokenizer_dir)
+    tokenizer = CharTokenizer.build(manifest.texts())
+    if config.model_family == "ctc":
+        config.ctc_model.vocab_size = len(tokenizer)
+    elif config.model_family == "whisper":
+        # reserve ids past the char vocab for <sot>/<eot>
+        n = len(tokenizer)
+        config.whisper.vocab_size = max(n + 8, 16)
+        config.whisper.prompt_ids = (n,)
+        config.whisper.eot_id = n + 1
+    return tokenizer
 
-    params = ModelBundle._init_params(config, seed=config.train.seed)
-    model, loss_fn, tx, jitted_step = build_train_setup(config, params)
+
+def train_loop(
+    config: ExperimentConfig,
+    manifest,
+    tokenizer,
+    params,
+    mesh=None,
+    resume: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    logger: Optional[MetricsLogger] = None,
+    eval_manifest=None,
+):
+    """The robust production loop, shared by run_experiment and the
+    multi-dialect run_stages (SURVEY 3.1/3.4):
+
+    * mesh-integrated: state is FSDP+ZeRO-sharded (parallel.mesh.shard_state)
+      and every batch rides batch_sharding over ('data','fsdp') — the
+      reference's DDP (SURVEY C19) falls out of pjit partitioning
+    * prefetch-threaded data, per-step metrics, periodic eval
+    * checkpoint every N steps + SIGTERM checkpoint-and-exit (SURVEY §5.3)
+      with exact data-iterator resume
+
+    Returns (state, info) with info = {"terminated": bool, "last_metrics": {}}.
+    """
+    from ..data.pipeline import BatchIterator, PrefetchIterator
+    from ..parallel.mesh import build_mesh_for_batch, shard_batch, shard_state
+    from .checkpoints import TrainCheckpointer
+
+    if mesh is None:
+        mesh = build_mesh_for_batch(config.mesh, config.data.batch_size)
+    model, loss_fn, tx, jitted_step = build_train_setup(config, params, mesh)
     state = init_state(config, tx, params, config.train.seed)
 
     it = PrefetchIterator(BatchIterator(manifest, tokenizer, config.data))
-    ckpt = TrainCheckpointer(config.train.checkpoint_dir, config.train.keep_checkpoints)
+    ckpt_dir = checkpoint_dir or config.train.checkpoint_dir
+    ckpt = TrainCheckpointer(ckpt_dir, config.train.keep_checkpoints)
     start_step = 0
     if resume:
         step0, restored, extra = ckpt.restore(state)
         if restored is not None:
             state, start_step = restored, step0
             it.load_state_dict(extra.get("data_iter", it.state_dict()))
+    state = shard_state(mesh, state)
 
-    eval_manifest = None
-    if config.data.eval_manifest:
-        try:
-            eval_manifest = read_manifest(config.data.eval_manifest)
-        except FileNotFoundError:
-            eval_manifest = None
-
-    logger = MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
+    own_logger = logger is None
+    if own_logger:
+        logger = MetricsLogger(
+            config.train.metrics_path, use_wandb=config.train.use_wandb
+        )
     total = config.train.optimizer.total_steps
     t0 = time.time()
     if config.model_family == "whisper":
@@ -329,18 +352,24 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
     # graceful preemption (SURVEY §5.3): a SIGTERM (maintenance event /
     # scheduler preemption) checkpoints before exiting so resume is exact
     import signal
+    import threading
 
     terminated = {"flag": False}
 
     def _on_term(signum, frame):
         terminated["flag"] = True
 
-    old_handler = signal.signal(signal.SIGTERM, _on_term)
+    old_handler = None
+    if threading.current_thread() is threading.main_thread():
+        old_handler = signal.signal(signal.SIGTERM, _on_term)
+    last_metrics: Dict[str, Any] = {}
     for step in range(start_step, total):
         batch = batch_to_device(
             next(it), tokenizer, config.model_family, w_prompt, w_eot
         )
+        batch = shard_batch(mesh, batch)
         state, metrics = jitted_step(state, batch)
+        last_metrics = metrics
         if (step + 1) % config.train.log_every_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = config.train.log_every_steps / max(
@@ -361,13 +390,43 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
         if terminated["flag"]:
             logger.log(step + 1, event="sigterm_checkpoint_and_exit")
             break
-    signal.signal(signal.SIGTERM, old_handler)
-    logger.close()
+    if old_handler is not None:
+        signal.signal(signal.SIGTERM, old_handler)
+    if own_logger:
+        logger.close()
+    info = {
+        "terminated": terminated["flag"],
+        "last_metrics": {k: float(v) for k, v in last_metrics.items()},
+    }
+    return state, info
+
+
+def run_experiment(config: ExperimentConfig, resume: bool = False):
+    """Full fine-tune loop (BASELINE configs[2]); multi-dialect stage
+    scheduling (configs[3]) layers on top in train/schedules.py."""
+    from ..data.manifest import read_manifest
+    from ..models.bundle import ModelBundle
+
+    manifest = read_manifest(config.data.train_manifest)
+    tokenizer = build_tokenizer_for(config, manifest)
+    params = ModelBundle._init_params(config, seed=config.train.seed)
+
+    eval_manifest = None
+    if config.data.eval_manifest:
+        try:
+            eval_manifest = read_manifest(config.data.eval_manifest)
+        except FileNotFoundError:
+            eval_manifest = None
+
+    state, _info = train_loop(
+        config, manifest, tokenizer, params,
+        resume=resume, eval_manifest=eval_manifest,
+    )
     bundle = ModelBundle(config=config, params=state.params, tokenizer=tokenizer)
     if eval_manifest is not None:
         final = evaluate_manifest(config, state.params, tokenizer, eval_manifest)
         logger2 = MetricsLogger(config.train.metrics_path)
-        logger2.log(total, **final)
+        logger2.log(config.train.optimizer.total_steps, **final)
         logger2.close()
     return state, bundle
 

@@ -32,20 +32,27 @@ def build_stage_manifest(stage: DialectStage) -> Manifest:
     return mix_manifests(manifests, weights)
 
 
-def run_stages(config: ExperimentConfig, params=None, tokenizer=None):
+def run_stages(config: ExperimentConfig, params=None, tokenizer=None, resume: bool = False):
     """Run config.stages sequentially, carrying params across stages.
+
+    Each stage runs through the SAME production loop as run_experiment
+    (engine.train_loop): mesh-sharded state, prefetch, per-stage checkpoints
+    under <checkpoint_dir>/stage_<i>_<name>, metrics logging, and SIGTERM
+    checkpoint-and-exit. With resume=True, completed stages fast-forward
+    from their final checkpoints and the in-progress stage resumes exactly
+    (data-iterator state included), so a preemption mid-transfer loses
+    nothing (SURVEY 3.4 / §5.3-4).
 
     Returns (final_params, tokenizer, per-stage metric dicts). The tokenizer
     is built over the union of all stage texts so the CTC vocab is stable
     across the whole transfer schedule.
     """
+    from pathlib import Path
+
     from ..models.bundle import ModelBundle
-    from .engine import (
-        TrainState,
-        batch_to_device,
-        build_train_setup,
-        init_state,
-    )
+    from ..parallel.mesh import build_mesh_for_batch
+    from ..utils.logging import MetricsLogger
+    from .engine import train_loop
 
     assert config.stages, "run_stages needs config.stages"
     stage_manifests = [build_stage_manifest(s) for s in config.stages]
@@ -57,8 +64,11 @@ def run_stages(config: ExperimentConfig, params=None, tokenizer=None):
     if params is None:
         params = ModelBundle._init_params(config, seed=config.train.seed)
 
+    mesh = build_mesh_for_batch(config.mesh, config.data.batch_size)
+    base_dir = Path(config.train.checkpoint_dir)
+    logger = MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
     history = []
-    for stage, manifest in zip(config.stages, stage_manifests):
+    for si, (stage, manifest) in enumerate(zip(config.stages, stage_manifests)):
         stage_cfg = dataclasses.replace(
             config,
             train=dataclasses.replace(
@@ -68,15 +78,16 @@ def run_stages(config: ExperimentConfig, params=None, tokenizer=None):
         stage_cfg.train.optimizer = dataclasses.replace(
             config.train.optimizer, total_steps=stage.steps
         )
-        model, loss_fn, tx, jitted_step = build_train_setup(stage_cfg, params)
-        state = init_state(stage_cfg, tx, params, config.train.seed)
-        it = BatchIterator(manifest, tokenizer, config.data)
-        metrics = {}
-        for _ in range(stage.steps):
-            batch = batch_to_device(next(it), tokenizer, config.model_family)
-            state, metrics = jitted_step(state, batch)
-        params = state.params
-        history.append(
-            {"stage": stage.name, **{k: float(v) for k, v in metrics.items()}}
+        stage_dir = str(base_dir / f"stage_{si}_{stage.name or 'stage'}")
+        state, info = train_loop(
+            stage_cfg, manifest, tokenizer, params,
+            mesh=mesh, resume=resume, checkpoint_dir=stage_dir, logger=logger,
         )
+        params = state.params
+        history.append({"stage": stage.name, **info["last_metrics"]})
+        logger.log(stage.steps, stage=stage.name, stage_index=si, **info["last_metrics"])
+        if info["terminated"]:
+            logger.log(stage.steps, event="sigterm_stage_exit", stage=stage.name)
+            break
+    logger.close()
     return params, tokenizer, history
