@@ -69,6 +69,8 @@ class BatchIterator:
         self.shuffle = shuffle
         self.epoch = 0
         self.cursor = 0
+        self._plan: Optional[List[List[int]]] = None
+        self._plan_epoch = -1
 
     # -- checkpointable state ----------------------------------------------
     def state_dict(self) -> Dict:
@@ -108,12 +110,20 @@ class BatchIterator:
     def __iter__(self) -> Iterator[Batch]:
         return self
 
+    def _plan_for_epoch(self) -> List[List[int]]:
+        # the full-corpus permutation + bucketing is O(N log N) host work;
+        # cache it per epoch or it throttles the prefetch thread every step
+        if self._plan_epoch != self.epoch:
+            self._plan = self._epoch_plan()
+            self._plan_epoch = self.epoch
+        return self._plan
+
     def __next__(self) -> Batch:
-        plan = self._epoch_plan()
+        plan = self._plan_for_epoch()
         if self.cursor >= len(plan):
             self.epoch += 1
             self.cursor = 0
-            plan = self._epoch_plan()
+            plan = self._plan_for_epoch()
         idxs = plan[self.cursor]
         self.cursor += 1
         rows = [self.rows[i] for i in idxs]

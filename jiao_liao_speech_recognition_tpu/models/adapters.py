@@ -90,8 +90,15 @@ class WFAdapter(nn.Module):
 
 
 class AttAdapter(nn.Module):
-    """Attention adapter: h + scale * up(MHA(LN(h))) with small head count
-    and key dim — the paper's "adapter with attention" (README.md:1)."""
+    """Attention adapter: h + scale * out(MHA(LN(h))) with small head count
+    and key dim — the paper's "adapter with attention" (README.md:1).
+
+    Supports KV-cached incremental decode exactly like the backbone
+    self-attention (kv_cache dict + cache_index), so the decoded function is
+    the trained function: during teacher-forced training the adapter attends
+    over the causal prefix, and during decode it attends over cached
+    positions 0..pos rather than only the current token.
+    """
 
     cfg: AdapterConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -102,19 +109,52 @@ class AttAdapter(nn.Module):
         h: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        kv_cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        import jax
+
         d = h.shape[-1]
+        H, dk = self.cfg.att_num_heads, self.cfg.att_key_dim
         z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(h)
-        z = nn.MultiHeadDotProductAttention(
-            num_heads=self.cfg.att_num_heads,
-            qkv_features=self.cfg.att_key_dim * self.cfg.att_num_heads,
-            out_features=d,
+        q = nn.Dense(H * dk, dtype=self.dtype, name="q_proj")(z)
+        k = nn.Dense(H * dk, dtype=self.dtype, name="k_proj")(z)
+        v = nn.Dense(H * dk, dtype=self.dtype, name="v_proj")(z)
+        new_cache = None
+        if kv_cache is not None:
+            k = jax.lax.dynamic_update_slice(
+                kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0)
+            )
+            new_cache = {"k": k, "v": v}
+        B, Tq = q.shape[0], q.shape[1]
+        Tk = k.shape[1]
+        from .layers import dot_product_attention
+
+        out = dot_product_attention(
+            q.reshape(B, Tq, H, dk),
+            k.reshape(B, Tk, H, dk),
+            v.reshape(B, Tk, H, dk),
+            mask,
+        )
+        out = out.reshape(B, Tq, H * dk)
+        out = nn.Dense(
+            d,
             dtype=self.dtype,
-            dropout_rate=self.cfg.dropout,
-            out_kernel_init=nn.initializers.zeros,  # identity at init
-            name="mha",
-        )(z, z, mask=mask, deterministic=deterministic)
-        return h + self.cfg.scale * z
+            kernel_init=nn.initializers.zeros,  # identity at init
+            name="out_proj",
+        )(out)
+        if self.cfg.dropout > 0:
+            out = nn.Dropout(self.cfg.dropout)(out, deterministic=deterministic)
+        y = h + self.cfg.scale * out
+        if kv_cache is not None:
+            return y, new_cache
+        return y
+
+    def cache_shape(self, batch: int, max_len: int):
+        return (batch, max_len, self.cfg.att_num_heads * self.cfg.att_key_dim)
 
 
 class AdapterSlot(nn.Module):
@@ -134,16 +174,19 @@ class AdapterSlot(nn.Module):
         h: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        kv_cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
         if self.cfg.kind == "bottleneck":
-            return BottleneckAdapter(self.cfg, self.dtype, name=f"{ADAPTER_PREFIX}bn")(
+            out = BottleneckAdapter(self.cfg, self.dtype, name=f"{ADAPTER_PREFIX}bn")(
                 h, deterministic
             )
+            return (out, kv_cache) if kv_cache is not None else out
         if self.cfg.kind == "att":
             return AttAdapter(self.cfg, self.dtype, name=f"{ADAPTER_PREFIX}att")(
-                h, mask, deterministic
+                h, mask, deterministic, kv_cache=kv_cache, cache_index=cache_index
             )
-        return h
+        return (h, kv_cache) if kv_cache is not None else h
 
 
 class WFDense(nn.Module):

@@ -27,8 +27,79 @@ from ..utils.config import (
     to_dict,
 )
 from ..data.tokenizer import CharTokenizer
-from ..frontend import audio_io, features, resample
+from ..frontend import audio_io, features
+from ..frontend.resample import resample as _resample
 from ..decode.ctc import ctc_greedy_decode, ctc_prefix_beam_search, ids_to_texts
+
+
+# jitted encode functions memoized by model-structure signature: in-training
+# eval constructs a fresh ModelBundle per call, and a per-instance jit would
+# recompile the encoder every eval (VERDICT r1 weak 8)
+_ENCODE_FN_CACHE: dict = {}
+
+
+def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig):
+    """Memoized jitted whisper generate: one XLA program per (model, decode)
+    signature instead of per-op dispatch (the relay's ~24 ms per dispatch
+    would dominate an unjitted AR loop) or per-eval retracing."""
+    key = (
+        "wgen",
+        json.dumps(to_dict(config.whisper), sort_keys=True),
+        json.dumps(to_dict(decode_cfg), sort_keys=True),
+    )
+    fn = _ENCODE_FN_CACHE.get(key)
+    if fn is None:
+        from ..decode import whisper_generate as wg
+        from .whisper import WhisperModel
+
+        model = WhisperModel(config.whisper)
+        prompt, eot = wg.resolve_specials(config.whisper)
+        strategy = decode_cfg.strategy
+        if strategy not in ("greedy", "beam", "beam_device"):
+            raise ValueError(f"unknown whisper decode strategy {strategy!r}")
+        use_beam = strategy in ("beam", "beam_device") and decode_cfg.beam_size > 1
+        lm_bigram = None
+        if use_beam and decode_cfg.lm_path and decode_cfg.lm_weight > 0.0:
+            lm_bigram = wg.load_bigram_matrix(
+                decode_cfg.lm_path, config.whisper.vocab_size
+            )
+
+        if use_beam:
+            def run(params, mel):
+                return wg.beam_generate(
+                    model, params, mel,
+                    beam_size=decode_cfg.beam_size,
+                    max_len=decode_cfg.max_decode_len,
+                    length_penalty=decode_cfg.length_penalty,
+                    prompt=prompt, eot_id=eot,
+                    lm_bigram=lm_bigram, lm_weight=decode_cfg.lm_weight,
+                )
+        else:
+            def run(params, mel):
+                return wg.greedy_generate(
+                    model, params, mel, max_len=decode_cfg.max_decode_len,
+                    prompt=prompt, eot_id=eot,
+                    temperature=decode_cfg.temperature,
+                )
+
+        fn = jax.jit(run)
+        _ENCODE_FN_CACHE[key] = fn
+    return fn
+
+
+def _encode_fn_for(config: ExperimentConfig):
+    sub = config.ctc_model if config.model_family == "ctc" else config.whisper
+    key = (config.model_family, json.dumps(to_dict(sub), sort_keys=True))
+    fn = _ENCODE_FN_CACHE.get(key)
+    if fn is None:
+        model = ModelBundle._model(config)
+
+        @jax.jit
+        def fn(params, f, fl):
+            return model.apply({"params": params}, f, fl, deterministic=True)
+
+        _ENCODE_FN_CACHE[key] = fn
+    return fn
 
 
 @dataclass
@@ -115,13 +186,9 @@ class ModelBundle:
     def encode(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
         """[B, mels, T] -> (log_probs, lengths) via the jitted encoder."""
         if self._jitted_encode is None:
-            model = self._model(self.config)
-
-            @jax.jit
-            def _enc(params, f, fl):
-                return model.apply({"params": params}, f, fl, deterministic=True)
-
-            object.__setattr__(self, "_jitted_encode", _enc)
+            object.__setattr__(
+                self, "_jitted_encode", _encode_fn_for(self.config)
+            )
         return self._jitted_encode(self.params, feats, feat_lengths)
 
     def transcribe(
@@ -164,52 +231,64 @@ class ModelBundle:
         feats = features.featurize_batch(jnp.asarray(wavs), fe)
         flens = jnp.asarray(alens // fe.hop_length, dtype=jnp.int32)
         if self.config.model_family == "whisper":
-            from ..decode.whisper_generate import generate
-
-            ids, lens = generate(self, feats, decode_cfg)
+            ids, lens = _whisper_generate_fn_for(self.config, decode_cfg)(
+                self.params, feats
+            )
             return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
         log_probs, out_lens = self.encode(feats, flens)
         if decode_cfg.strategy == "beam":
             # host beam by default: identical semantics, no XLA compile cost
             from ..decode.ctc import ctc_prefix_beam_search_host
 
+            lm = None
+            if decode_cfg.lm_path and decode_cfg.lm_weight > 0.0:
+                from ..decode.lm import NGramCharLM
+
+                lm = NGramCharLM.load(decode_cfg.lm_path)
             ids, lens = ctc_prefix_beam_search_host(
                 np.asarray(log_probs), np.asarray(out_lens),
                 decode_cfg.beam_size, decode_cfg.ctc_blank_id,
+                lm=lm, lm_weight=decode_cfg.lm_weight,
             )
         elif decode_cfg.strategy == "beam_device":
             ids, lens = ctc_prefix_beam_search(
                 log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id
             )
-        else:
+        elif decode_cfg.strategy == "greedy":
             ids, lens = ctc_greedy_decode(log_probs, out_lens, decode_cfg.ctc_blank_id)
+        else:
+            raise ValueError(f"unknown ctc decode strategy {decode_cfg.strategy!r}")
         return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
 
     def _collect_audio(self, audio, sample_rate):
-        """Normalize inputs to a list of mono float32 arrays at fe.sample_rate."""
+        """Normalize inputs to a list of mono float32 arrays at fe.sample_rate.
+
+        Every item carries its OWN source rate — files report theirs from the
+        WAV header, raw arrays use `sample_rate` (None = already at target) —
+        and each is resampled individually, so mixed-rate file lists and
+        file/array mixtures are all brought to fe.sample_rate correctly.
+        """
         fe = self.config.frontend
+
+        def one(a):
+            if isinstance(a, (str, Path)):
+                return audio_io.read_wav(a)
+            return np.asarray(a, np.float32), (sample_rate or fe.sample_rate)
+
         if isinstance(audio, (str, Path)):
-            pcm, sr = audio_io.read_wav(audio)
-            audios, sample_rate = [pcm], sr
+            items = [one(audio)]
         elif isinstance(audio, np.ndarray) and audio.ndim == 1:
-            audios = [audio]
+            items = [one(audio)]
         elif isinstance(audio, np.ndarray):
-            audios = list(audio)
+            items = [one(a) for a in audio]
         else:
-            audios = []
-            for a in audio:
-                if isinstance(a, (str, Path)):
-                    pcm, sr = audio_io.read_wav(a)
-                    audios.append(pcm)
-                    sample_rate = sr
-                else:
-                    audios.append(np.asarray(a, np.float32))
-        if sample_rate is not None and sample_rate != fe.sample_rate:
-            audios = [
-                np.asarray(resample.resample(jnp.asarray(a), sample_rate, fe.sample_rate))
-                for a in audios
-            ]
-        return [np.asarray(a, np.float32) for a in audios], fe.sample_rate
+            items = [one(a) for a in audio]
+        out = []
+        for pcm, sr in items:
+            if sr != fe.sample_rate:
+                pcm = np.asarray(_resample(jnp.asarray(pcm), sr, fe.sample_rate))
+            out.append(np.asarray(pcm, np.float32))
+        return out, fe.sample_rate
 
     def _prepare_audio(self, audio, sample_rate):
         fe = self.config.frontend

@@ -116,11 +116,27 @@ class MultiHeadAttention(nn.Module):
                 new_cache = {"k": k, "v": v}
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]
-        qh = q.reshape(B, Tq, self.num_heads, dh)
-        kh = k.reshape(B, Tk, self.num_heads, dh)
-        vh = v.reshape(B, Tk, self.num_heads, dh)
-        out = dot_product_attention(qh, kh, vh, mask, use_flash=self.use_flash)
-        out = out.reshape(B, Tq, self.d_model)
+        out = None
+        if (
+            self.use_flash
+            and dh % 128 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            # zero-transpose fast path: the Pallas kernel addresses heads by
+            # lane-aligned slices of the packed [B, T, H*Dh] layout, so the
+            # [B,T,H,Dh] reshape/transpose round-trips through HBM vanish
+            from ..ops.flash_attention import flash_attention_packed
+
+            try:
+                out = flash_attention_packed(q, k, v, self.num_heads, mask)
+            except NotImplementedError:
+                out = None
+        if out is None:
+            qh = q.reshape(B, Tq, self.num_heads, dh)
+            kh = k.reshape(B, Tk, self.num_heads, dh)
+            vh = v.reshape(B, Tk, self.num_heads, dh)
+            out = dot_product_attention(qh, kh, vh, mask, use_flash=self.use_flash)
+            out = out.reshape(B, Tq, self.d_model)
         out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -170,6 +186,7 @@ class TransformerBlock(nn.Module):
         cross_cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
         precompute_cross: bool = False,
+        slot_caches: Optional[dict] = None,
     ):
         if precompute_cross:
             # K/V of the cross-attention for a given encoder output — used
@@ -198,9 +215,18 @@ class TransformerBlock(nn.Module):
             attn_out, self_cache = attn_out
         x = x + attn_out
         if ad.kind != "none" and ad.after_attention:
-            x = AdapterSlot(ad, self.dtype, name="post_attn_slot")(
-                x, mask=mask, deterministic=deterministic
-            )
+            if slot_caches is not None:
+                # KV-cached AttAdapter during incremental decode: the slot
+                # attends over cached positions 0..pos, matching training
+                x, c = AdapterSlot(ad, self.dtype, name="post_attn_slot")(
+                    x, mask=mask, deterministic=deterministic,
+                    kv_cache=slot_caches["post_attn"], cache_index=cache_index,
+                )
+                slot_caches = dict(slot_caches, post_attn=c)
+            else:
+                x = AdapterSlot(ad, self.dtype, name="post_attn_slot")(
+                    x, mask=mask, deterministic=deterministic
+                )
         if self.cross_attention:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="cross_attn_ln")(x)
             cross_out = MultiHeadAttention(
@@ -220,11 +246,18 @@ class TransformerBlock(nn.Module):
             self.d_model, self.mlp_dim, self.dtype, self.dropout, self.adapter, name="mlp"
         )(h, deterministic=deterministic)
         if ad.kind != "none" and ad.after_mlp:
-            x = AdapterSlot(ad, self.dtype, name="post_mlp_slot")(
-                x, mask=mask, deterministic=deterministic
-            )
+            if slot_caches is not None:
+                x, c = AdapterSlot(ad, self.dtype, name="post_mlp_slot")(
+                    x, mask=mask, deterministic=deterministic,
+                    kv_cache=slot_caches["post_mlp"], cache_index=cache_index,
+                )
+                slot_caches = dict(slot_caches, post_mlp=c)
+            else:
+                x = AdapterSlot(ad, self.dtype, name="post_mlp_slot")(
+                    x, mask=mask, deterministic=deterministic
+                )
         if self_cache is not None or cross_cache is not None:
-            return x, self_cache, cross_cache
+            return x, self_cache, cross_cache, slot_caches
         return x
 
 

@@ -109,13 +109,25 @@ class WhisperDecoder(nn.Module):
         caches = {}
         for i, blk in enumerate(self.blocks):
             cross = blk(None, enc=enc, precompute_cross=True)
-            caches[f"block_{i}"] = {
+            entry = {
                 "self": {
                     "k": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
                     "v": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
                 },
                 "cross": cross,
             }
+            if cfg.adapter.kind == "att":
+                # AttAdapter slots carry their own KV caches so decode
+                # attends over the same prefix the trained function saw
+                ad_dim = cfg.adapter.att_num_heads * cfg.adapter.att_key_dim
+                entry["slots"] = {
+                    s: {
+                        "k": jnp.zeros((batch, cfg.max_target_positions, ad_dim), dtype),
+                        "v": jnp.zeros((batch, cfg.max_target_positions, ad_dim), dtype),
+                    }
+                    for s in ("post_attn", "post_mlp")
+                }
+            caches[f"block_{i}"] = entry
         return caches
 
     def decode_step(
@@ -142,7 +154,7 @@ class WhisperDecoder(nn.Module):
         new_caches = {}
         for i, blk in enumerate(self.blocks):
             name = f"block_{i}"
-            x, self_c, cross_c = blk(
+            x, self_c, cross_c, slot_c = blk(
                 x,
                 mask=kmask,
                 enc=enc,
@@ -151,8 +163,11 @@ class WhisperDecoder(nn.Module):
                 self_cache=caches[name]["self"],
                 cross_cache=caches[name].get("cross"),
                 cache_index=pos,
+                slot_caches=caches[name].get("slots"),
             )
             new_caches[name] = {"self": self_c, "cross": cross_c}
+            if slot_c is not None:
+                new_caches[name]["slots"] = slot_c
         x = self.ln(x)
         logits = self.embed_tokens.attend(x.astype(jnp.float32))
         return logits[:, 0], new_caches

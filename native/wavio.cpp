@@ -29,6 +29,10 @@ bool parse_header(FILE* f, WavInfo* info) {
   bool have_fmt = false;
   while (fread(id, 1, 4, f) == 4 && fread(&sz, 4, 1, f) == 1) {
     if (memcmp(id, "fmt ", 4) == 0) {
+      // the chunk size is untrusted: reject anything shorter than the
+      // 16-byte base fmt block (or 40 for extensible) before the fixed-
+      // offset reads below, and cap it so hostile sizes can't OOM us
+      if (sz < 16 || sz > 1u << 20) return false;
       std::vector<uint8_t> buf(sz);
       if (fread(buf.data(), 1, sz, f) != sz) return false;
       uint16_t fmt, ch, bits;
@@ -37,11 +41,14 @@ bool parse_header(FILE* f, WavInfo* info) {
       memcpy(&ch, buf.data() + 2, 2);
       memcpy(&rate, buf.data() + 4, 4);
       memcpy(&bits, buf.data() + 14, 2);
-      if (fmt == 0xFFFE && sz >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+      if (fmt == 0xFFFE) {  // WAVE_FORMAT_EXTENSIBLE
+        if (sz < 40) return false;
         uint16_t sub;
         memcpy(&sub, buf.data() + 24, 2);
         fmt = sub;
       }
+      // bits in 1..7 would pass a !=0 check but make bytes-per-frame zero
+      if (bits < 8 || bits % 8 != 0 || bits > 64 || ch == 0) return false;
       info->format = fmt;
       info->channels = ch;
       info->sample_rate = static_cast<int32_t>(rate);

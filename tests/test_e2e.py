@@ -222,3 +222,25 @@ def test_eval_during_training(tmp_path, rng):
     api.fine_tune(cfg)
     recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     assert any("eval_cer" in r for r in recs)
+
+
+def test_collect_audio_mixed_sample_rates(tmp_path):
+    """Each input carries its own rate: a 16 kHz file, an 8 kHz file, and a
+    raw array must each be resampled individually to fe.sample_rate."""
+    from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+
+    rng = np.random.RandomState(0)
+    a16 = (rng.randn(16000) * 0.1).astype(np.float32)  # 1 s @ 16 kHz
+    a8 = (rng.randn(8000) * 0.1).astype(np.float32)  # 1 s @ 8 kHz
+    p16, p8 = tmp_path / "a16.wav", tmp_path / "a8.wav"
+    write_wav(p16, a16, 16000)
+    write_wav(p8, a8, 8000)
+    bundle = ModelBundle.load(config=_tiny_config(8))
+    out, sr = bundle._collect_audio([str(p16), str(p8), a16], None)
+    assert sr == 16000
+    # 16 kHz inputs untouched; the 8 kHz file upsampled 2x to ~1 s @ 16 kHz
+    assert abs(len(out[0]) - 16000) <= 1
+    assert abs(len(out[1]) - 16000) <= 32  # polyphase edge padding tolerance
+    assert abs(len(out[2]) - 16000) <= 1
+    # order preserved: file order matches output order even with mixed rates
+    assert np.allclose(out[0][:100], a16[:100], atol=2e-4)

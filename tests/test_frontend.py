@@ -115,3 +115,52 @@ def test_wav_roundtrip(tmp_path, tiny_wav):
     assert sr == 16000
     assert len(pcm) == len(tiny_wav)
     assert np.abs(pcm - tiny_wav).max() < 1e-3  # 16-bit quantization
+
+
+def test_native_wavio_rejects_malformed_headers(tmp_path):
+    """Hostile WAVs: short fmt chunks and sub-byte bit depths must be
+    rejected by the C++ decoder, not heap-over-read or divide by zero."""
+    import struct
+
+    from jiao_liao_speech_recognition_tpu.utils import native_ext
+
+    if not native_ext.native_available("wavio"):
+        pytest.skip("native wavio not built")
+    wavio = native_ext.load_wavio()
+
+    def riff(fmt_chunk: bytes, data: bytes = b"\0" * 8) -> bytes:
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # fmt chunk shorter than the 16-byte base block (was a heap over-read)
+    p1 = tmp_path / "short_fmt.wav"
+    p1.write_bytes(riff(struct.pack("<HHI", 1, 1, 16000)))
+    with pytest.raises(IOError):
+        wavio.read(str(p1))
+
+    # bits=4 passes a !=0 check but makes bytes-per-frame zero (div by zero)
+    p2 = tmp_path / "bits4.wav"
+    p2.write_bytes(riff(struct.pack("<HHIIHH", 1, 1, 16000, 8000, 1, 4)))
+    with pytest.raises(IOError):
+        wavio.read(str(p2))
+
+    # zero channels
+    p3 = tmp_path / "ch0.wav"
+    p3.write_bytes(riff(struct.pack("<HHIIHH", 1, 0, 16000, 32000, 2, 16)))
+    with pytest.raises(IOError):
+        wavio.read(str(p3))
+
+    # extensible fmt with truncated extension block
+    p4 = tmp_path / "ext_short.wav"
+    p4.write_bytes(riff(struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)))
+    with pytest.raises(IOError):
+        wavio.read(str(p4))
+
+    # a well-formed file still reads
+    ok = tmp_path / "ok.wav"
+    from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+
+    write_wav(ok, np.zeros(100, np.float32), 16000)
+    pcm, sr = wavio.read(str(ok))
+    assert sr == 16000 and len(pcm) == 100

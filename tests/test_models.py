@@ -131,3 +131,50 @@ def test_whisper_decode_step_matches_forward():
             method=model.decode_step,
         )
         assert np.abs(np.asarray(step_logits[0]) - np.asarray(full[0, p])).max() < 1e-3, p
+
+
+@pytest.mark.parametrize("kind", ["att", "bottleneck", "wf"])
+def test_whisper_decode_step_matches_forward_with_adapters(kind):
+    """Decode parity must hold with NONZERO adapter weights — in particular
+    the AttAdapter, whose slot keeps its own KV cache so step-wise decode
+    attends over the same causal prefix as the teacher-forced forward."""
+    cfg = WhisperConfig(
+        vocab_size=100, d_model=64, encoder_layers=1, decoder_layers=2,
+        num_heads=4, mlp_dim=128, max_target_positions=32, dtype="float32",
+        use_flash_attention=False,
+        adapter=AdapterConfig(kind=kind, bottleneck_dim=8, wf_rank=4,
+                              att_num_heads=2, att_key_dim=8, dropout=0.0),
+    )
+    model = WhisperModel(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 100))
+    toks = jnp.asarray([[5, 9, 17, 3], [2, 11, 7, 19]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel, toks)["params"]
+    # adapters init as identity (zeroed out-projections): randomize them so
+    # divergence between trained fn and decoded fn would be visible
+    keys = jax.random.split(jax.random.PRNGKey(7), 1000)
+    counter = [0]
+
+    def perturb(kp, x):
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        if param_is_adapter(path):
+            counter[0] += 1
+            return 0.3 * jax.random.normal(keys[counter[0]], x.shape, x.dtype)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(perturb, params)
+    assert counter[0] > 0
+
+    full = model.apply({"params": params}, mel, toks)  # [2, 4, V]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    caches = model.apply({"params": params}, 2, enc, method=model.init_cache)
+    for p in range(4):
+        step_logits, caches = model.apply(
+            {"params": params},
+            toks[:, p : p + 1],
+            jnp.int32(p),
+            enc,
+            caches,
+            method=model.decode_step,
+        )
+        err = np.abs(np.asarray(step_logits) - np.asarray(full[:, p])).max()
+        assert err < 1e-3, (kind, p, err)
