@@ -1,11 +1,14 @@
 """Benchmark: batched inference RTFx (audio-seconds of speech processed per
-wall-clock second per chip) on the flagship transformer-CTC model.
+wall-clock second per chip) on the flagship transformer-CTC model, plus the
+BASELINE-tracked adapter fine-tune steps/sec.
 
-Pipeline measured end-to-end on device: raw waveform batch -> fused log-mel
-frontend -> conv-subsampled transformer encoder -> CTC greedy decode
-(BASELINE configs[1]). Prints ONE JSON line:
+Inference pipeline measured end-to-end on device: raw waveform batch ->
+fused log-mel frontend -> conv-subsampled transformer encoder -> CTC greedy
+decode (BASELINE configs[1]). Training: the production jitted step (frozen
+backbone + WF adapters, on-device featurize + SpecAugment + CTC loss) at
+batch 16 x 10 s. Prints ONE JSON line:
   {"metric": "rtfx", "value": N, "unit": "audio_sec_per_sec_per_chip",
-   "vs_baseline": N}
+   "vs_baseline": N, "adapter_finetune_steps_per_sec": N, ...}
 vs_baseline is measured RTFx / 200 (the driver-set >=200x real-time target,
 BASELINE.md; the reference publishes no throughput numbers).
 """
@@ -90,6 +93,8 @@ def main() -> None:
 
     audio_sec = secs * batch * iters
     rtfx = audio_sec / dt
+
+    steps_per_sec = bench_adapter_finetune()
     print(
         json.dumps(
             {
@@ -97,9 +102,72 @@ def main() -> None:
                 "value": round(rtfx, 2),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtfx / 200.0, 3),
+                "adapter_finetune_steps_per_sec": round(steps_per_sec, 2),
+                "train_batch": 16,
+                "train_secs_per_utt": 10.0,
             }
         )
     )
+
+
+def bench_adapter_finetune() -> float:
+    """Adapter fine-tune steps/sec (BASELINE tracked metric): the production
+    jitted train step on the flagship CTC model with WF adapters + frozen
+    backbone, batch 16 x 10 s. Distinct input batches per step; the step->
+    step state dependency serializes execution on device, and the final
+    block_until_ready is the only host sync inside the timed window."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.train.engine import (
+        build_train_setup,
+        init_state,
+    )
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        AdapterConfig,
+        CTCModelConfig,
+        ExperimentConfig,
+    )
+
+    config = ExperimentConfig(
+        model_family="ctc",
+        ctc_model=CTCModelConfig(
+            vocab_size=4336, adapter=AdapterConfig(kind="wf", wf_rank=8)
+        ),
+    )
+    config.train.train_adapters_only = True
+
+    params = ModelBundle._init_params(config)
+    _, _, tx, jitted_step = build_train_setup(config, params)
+    state = init_state(config, tx, params)
+
+    B, secs = 16, 10.0
+    samples = int(secs * config.frontend.sample_rate)
+    rng = np.random.RandomState(0)
+    batches = []
+    for i in range(4):
+        batches.append({
+            "audio": jnp.asarray(rng.randn(B, samples).astype(np.float32) * 0.1),
+            "audio_lengths": jnp.full((B,), samples, jnp.int32),
+            "labels": jnp.asarray(rng.randint(1, 4336, (B, 24)).astype(np.int32)),
+            "label_lengths": jnp.full((B,), 24, jnp.int32),
+        })
+    jax.block_until_ready(batches)
+    # warm every distinct buffer (first execution per buffer pays a one-time
+    # cost on the remote-attached TPU)
+    for b in batches:
+        state, metrics = jitted_step(state, b)
+        _ = float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = jitted_step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"]))
+    return iters / dt
 
 
 if __name__ == "__main__":

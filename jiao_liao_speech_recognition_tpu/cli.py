@@ -34,7 +34,7 @@ def cmd_train(args) -> int:
 
 def _train_body(args, cfg, fine_tune, run_stages) -> int:
     if cfg.stages:
-        params, tokenizer, history = run_stages(cfg)
+        params, tokenizer, history = run_stages(cfg, resume=args.resume)
         for h in history:
             print(json.dumps(h, ensure_ascii=False))
         # persist the final bundle
@@ -72,7 +72,10 @@ def cmd_evaluate(args) -> int:
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
     decode_cfg = dataclasses.replace(
-        bundle.config.decode, strategy=args.decode, beam_size=args.beam_size
+        bundle.config.decode, strategy=args.decode, beam_size=args.beam_size,
+        lm_path=args.lm_path or bundle.config.decode.lm_path,
+        lm_weight=args.lm_weight if args.lm_weight is not None
+        else bundle.config.decode.lm_weight,
     )
     manifest = read_manifest(args.manifest)
     refs, hyps = [], []
@@ -102,6 +105,69 @@ def cmd_featurize(args) -> int:
     out = args.output or (args.audio + ".logmel.npy")
     np.save(out, np.asarray(feats))
     print(f"wrote {out} shape={tuple(np.asarray(feats).shape)}")
+    return 0
+
+
+def cmd_train_lm(args) -> int:
+    """Train a char n-gram LM over manifest transcripts for shallow fusion
+    (decode/lm.py). The tokenizer comes from --checkpoint (vocab consistency
+    with the acoustic model) or is built from the manifests."""
+    from .data.manifest import read_manifest
+    from .data.tokenizer import CharTokenizer
+    from .decode.lm import NGramCharLM
+
+    texts = []
+    for m in args.manifest:
+        texts.extend(read_manifest(m).texts())
+    if args.checkpoint:
+        from .api import load
+
+        tokenizer = load(checkpoint=args.checkpoint).tokenizer
+    else:
+        tokenizer = CharTokenizer.build(texts)
+    lm = NGramCharLM.train_from_texts(texts, tokenizer, order=args.order)
+    lm.save(args.output)
+    print(json.dumps({
+        "lm": args.output, "order": args.order, "vocab": lm.vocab_size,
+        "ngrams": len(lm.counts), "texts": len(texts),
+    }))
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    """Corpus prep (SURVEY 3.5): transcript table -> filtered, split
+    manifests; optionally compute global-CMVN stats over the train split."""
+    from .data.prepare import prepare_corpus
+
+    paths = prepare_corpus(
+        args.table,
+        args.out_dir,
+        audio_root=args.audio_root,
+        dialect=args.dialect,
+        min_seconds=args.min_seconds,
+        max_seconds=args.max_seconds,
+        dev_fraction=args.dev_fraction,
+        test_fraction=args.test_fraction,
+        seed=args.seed,
+    )
+    result = dict(paths)
+    if args.cmvn:
+        from .data.manifest import read_manifest
+        from .data.tokenizer import CharTokenizer
+        from .frontend.cmvn import compute_corpus_cmvn
+        from .utils.config import DataConfig, FrontendConfig
+
+        manifest = read_manifest(paths["train"])
+        tok = CharTokenizer.build(manifest.texts())
+        fe = FrontendConfig(num_mels=args.num_mels)
+        acc = compute_corpus_cmvn(
+            manifest, tok, DataConfig(batch_size=8, min_audio_seconds=args.min_seconds),
+            fe,
+        )
+        stats_path = str(Path(args.out_dir) / f"{args.dialect or 'corpus'}_cmvn.npz")
+        acc.save(stats_path)
+        result["cmvn_stats"] = stats_path
+    print(json.dumps(result, ensure_ascii=False))
     return 0
 
 
@@ -138,12 +204,36 @@ def main(argv=None) -> int:
     pe.add_argument("--batch-size", type=int, default=16)
     pe.add_argument("--decode", default="greedy", choices=["greedy", "beam", "beam_device"])
     pe.add_argument("--beam-size", type=int, default=8)
+    pe.add_argument("--lm-path", default="", help="n-gram LM .npz for shallow fusion")
+    pe.add_argument("--lm-weight", type=float, default=None)
     pe.set_defaults(fn=cmd_evaluate)
+
+    pl = sub.add_parser("train-lm", help="char n-gram LM over manifests (fusion)")
+    pl.add_argument("manifest", nargs="+")
+    pl.add_argument("--output", required=True)
+    pl.add_argument("--order", type=int, default=3)
+    pl.add_argument("--checkpoint", help="take the tokenizer from this bundle")
+    pl.set_defaults(fn=cmd_train_lm)
 
     pf = sub.add_parser("featurize", help="audio -> log-mel .npy")
     pf.add_argument("audio")
     pf.add_argument("--output")
     pf.set_defaults(fn=cmd_featurize)
+
+    pp = sub.add_parser("prepare", help="transcript table -> train/dev/test manifests")
+    pp.add_argument("table", help="TSV/CSV of (audio_path, transcript) rows")
+    pp.add_argument("--out-dir", required=True)
+    pp.add_argument("--audio-root", default="")
+    pp.add_argument("--dialect", default="")
+    pp.add_argument("--min-seconds", type=float, default=0.3)
+    pp.add_argument("--max-seconds", type=float, default=30.0)
+    pp.add_argument("--dev-fraction", type=float, default=0.05)
+    pp.add_argument("--test-fraction", type=float, default=0.05)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--cmvn", action="store_true",
+                    help="also compute global-CMVN stats over the train split")
+    pp.add_argument("--num-mels", type=int, default=80)
+    pp.set_defaults(fn=cmd_prepare)
 
     pn = sub.add_parser("build-native", help="compile C++ host components")
     pn.set_defaults(fn=cmd_build_native)

@@ -210,7 +210,35 @@ class ByteLevelBPE:
                     i += 1
             symbols = out
 
-    def encode(self, text: str) -> List[int]:
+    def encode(self, text: str, allow_special: bool = True) -> List[int]:
+        """Encode text -> ids. Special tokens (``<|...|>``) appearing
+        verbatim in the input map to their reserved ids instead of being
+        BPE-merged as ordinary text; allow_special=False treats them as
+        plain text (the safe mode for untrusted transcripts)."""
+        if allow_special and self.special:
+            rx = self._special_regex()
+            ids: List[int] = []
+            for part in rx.split(text):
+                if not part:
+                    continue
+                if part in self.special:
+                    ids.append(self.special[part])
+                else:
+                    ids.extend(self._encode_ordinary(part))
+            return ids
+        return self._encode_ordinary(text)
+
+    def _special_regex(self):
+        if getattr(self, "_special_rx", None) is None:
+            import re
+
+            pattern = "|".join(
+                re.escape(s) for s in sorted(self.special, key=len, reverse=True)
+            )
+            self._special_rx = re.compile(f"({pattern})")
+        return self._special_rx
+
+    def _encode_ordinary(self, text: str) -> List[int]:
         ids: List[int] = []
         for tok in gpt2_pretokenize(text):
             mapped = "".join(self._b2u[b] for b in tok.encode("utf-8"))

@@ -4,8 +4,8 @@ The reference's CTC recipe class uses a char (or sentencepiece) vocab
 (SURVEY.md C6; sentencepiece pinned at /root/reference/requirements.txt:64).
 Mandarin CTC at character level needs no subword model, so the native
 tokenizer here is a char vocab built from the training corpus; id 0 is the
-CTC blank. A C++ runtime (native/tokenizer.cpp) accelerates batch decode at
-corpus scale; the Python path is authoritative.
+CTC blank. (The C++ runtime accelerates the BPE path — native/bpe.cpp; char
+encode/decode is dict lookups and stays pure Python.)
 
 Whisper's multilingual BPE is handled separately by
 models/whisper_import.py via the HF tokenizer files.

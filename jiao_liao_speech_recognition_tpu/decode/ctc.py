@@ -7,7 +7,9 @@ the final id->text lookup.
 
 Prefix beam search: fixed-width device beam over (blank, non-blank) prefix
 probabilities — the TPU answer to the inherently ragged host-side searcher
-(SURVEY §7 hard-part 3). No LM fusion, matching the reference's scope.
+(SURVEY §7 hard-part 3). The host searcher supports external-LM shallow
+fusion (decode/lm.py) — a TPU-native extension beyond the reference's scope
+(no kenlm/pyctcdecode in its lockfile).
 """
 
 from __future__ import annotations
@@ -214,6 +216,8 @@ def ctc_prefix_beam_search_host(
     beam_size: int = 8,
     blank_id: int = 0,
     topk_tokens: int = 16,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Classic dict-based prefix beam search on host.
 
@@ -221,6 +225,10 @@ def ctc_prefix_beam_search_host(
     prefix, exact duplicate merging) at zero XLA-compile cost — the default
     for offline CTC beam decoding; the device version exists for serving
     pipelines that cannot leave the chip (SURVEY §7 hard-part 3).
+
+    lm + lm_weight > 0 enables kenlm-style shallow fusion (decode/lm.py):
+    every prefix *extension* additionally pays lm_weight * logP_LM(v|prefix).
+    The acoustic-only path is bit-identical to lm=None.
     """
     log_probs = np.asarray(log_probs)
     lengths = np.asarray(lengths)
@@ -229,6 +237,7 @@ def ctc_prefix_beam_search_host(
     out_ids = np.zeros((B, T), np.int32)
     out_len = np.zeros((B,), np.int32)
     NEG = -1e30
+    fuse = lm is not None and lm_weight > 0.0
     for b in range(B):
         beams = {(): (0.0, NEG)}  # prefix -> (log p_blank, log p_nonblank)
         for t in range(int(lengths[b])):
@@ -255,7 +264,8 @@ def ctc_prefix_beam_search_host(
                         src = pb  # after a blank only
                     else:
                         src = p_tot
-                    acc(prefix + (v,), NEG, src + lp[v])
+                    bonus = lm_weight * lm.logp(prefix, v) if fuse else 0.0
+                    acc(prefix + (v,), NEG, src + lp[v] + bonus)
             beams = dict(
                 sorted(
                     nxt.items(),

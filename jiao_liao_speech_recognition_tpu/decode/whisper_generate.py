@@ -38,12 +38,19 @@ def greedy_generate(
     max_len: int = 224,
     prompt: Optional[Tuple[int, ...]] = None,
     eot_id: int = EOT,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (tokens [B, max_len], lengths [B]). `lengths`
-    counts generated tokens excluding the prompt and the EOT."""
+    counts generated tokens excluding the prompt and the EOT.
+
+    temperature > 0 samples each token from softmax(logits/T) (the
+    reference's temperature decoding knob); 0 is pure argmax."""
     prompt = prompt or default_prompt(model.cfg.vocab_size)
     B = mel.shape[0]
     P = len(prompt)
+    if temperature > 0 and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     enc = model.apply({"params": params}, mel, method=model.encode)
     caches = model.apply({"params": params}, B, enc, method=model.init_cache)
@@ -57,7 +64,13 @@ def greedy_generate(
         logits, caches = model.apply(
             {"params": params}, tok, pos, enc, caches, method=model.decode_step
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+        if temperature > 0:
+            key = jax.random.fold_in(rng, pos)
+            nxt = jax.random.categorical(
+                key, logits.astype(jnp.float32) / temperature, axis=-1
+            ).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
         is_prompt = pos + 1 < P  # keep forced prompt tokens
         cur_next = jax.lax.dynamic_slice(tokens, (0, pos + 1), (B, 1))[:, 0]
         nxt = jnp.where(done, eot_id, jnp.where(is_prompt, cur_next, nxt))
@@ -90,6 +103,8 @@ def beam_generate(
     length_penalty: float = 1.0,
     prompt: Optional[Tuple[int, ...]] = None,
     eot_id: int = EOT,
+    lm_bigram: Optional[jnp.ndarray] = None,  # [V, V] log P(next|prev)
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched AR beam search with KV caches, fully on device.
 
@@ -98,6 +113,10 @@ def beam_generate(
     along the winning beams. Finished beams propose only EOT at logprob 0 so
     their score freezes. Returns the best beam per utterance:
     (tokens [B, max_len] past prompt, lengths [B]).
+
+    lm_bigram + lm_weight > 0 adds on-device shallow fusion: one row-gather
+    of the dense bigram log-prob matrix per step (decode/lm.py), added to
+    the model log-probs before top-k.
     """
     prompt = prompt or default_prompt(model.cfg.vocab_size)
     B = mel.shape[0]
@@ -132,6 +151,9 @@ def beam_generate(
             {"params": params}, tok, pos, enc, caches, method=model.decode_step
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
+        if lm_bigram is not None and lm_weight > 0.0:
+            # shallow fusion: + w * log P_LM(next | current token)
+            logp = logp + lm_weight * lm_bigram[tok[:, 0]].reshape(B, K, V)
         # finished beams: only EOT continuation at logprob 0
         eot_only = jnp.full((V,), NEG).at[eot_id].set(0.0)
         logp = jnp.where(finished[..., None], eot_only[None, None, :], logp)
@@ -182,6 +204,26 @@ def beam_generate(
     return gen_best, len_best
 
 
+def load_bigram_matrix(lm_path: str, vocab_size: int) -> jnp.ndarray:
+    """Load an NGramCharLM and lower it to a [vocab_size, vocab_size] bigram
+    log-prob matrix for on-device fusion, padding ids past the LM vocab
+    (model specials) with a uniform floor so they are neither boosted nor
+    killed by the LM."""
+    from .lm import NGramCharLM
+
+    lm = NGramCharLM.load(lm_path)
+    mat = lm.bigram_log_matrix()
+    V = vocab_size
+    if mat.shape[0] < V:
+        import numpy as np
+
+        floor = float(np.median(mat))
+        out = jnp.full((V, V), floor, jnp.float32)
+        out = out.at[: mat.shape[0], : mat.shape[1]].set(mat)
+        return out
+    return jnp.asarray(mat[:V, :V])
+
+
 def resolve_specials(wcfg) -> Tuple[Tuple[int, ...], int]:
     """(prompt, eot) from WhisperConfig, defaulting to the standard
     multilingual Whisper tokens."""
@@ -191,12 +233,23 @@ def resolve_specials(wcfg) -> Tuple[Tuple[int, ...], int]:
 
 
 def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
-    """Entry used by ModelBundle.transcribe for the whisper family."""
+    """Entry used by ModelBundle.transcribe for the whisper family.
+
+    Whisper's AR beam IS the on-device beam, so both "beam" and
+    "beam_device" route to beam_generate; unknown strategies error loudly
+    instead of silently falling back to greedy."""
     from ..models.whisper import WhisperModel
 
     model = WhisperModel(bundle.config.whisper)
     prompt, eot = resolve_specials(bundle.config.whisper)
-    if decode_cfg.strategy == "beam" and decode_cfg.beam_size > 1:
+    if decode_cfg.strategy not in ("greedy", "beam", "beam_device"):
+        raise ValueError(f"unknown whisper decode strategy {decode_cfg.strategy!r}")
+    if decode_cfg.strategy in ("beam", "beam_device") and decode_cfg.beam_size > 1:
+        lm_bigram = None
+        if decode_cfg.lm_path and decode_cfg.lm_weight > 0.0:
+            lm_bigram = load_bigram_matrix(
+                decode_cfg.lm_path, bundle.config.whisper.vocab_size
+            )
         return beam_generate(
             model,
             bundle.params,
@@ -206,8 +259,10 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
             length_penalty=decode_cfg.length_penalty,
             prompt=prompt,
             eot_id=eot,
+            lm_bigram=lm_bigram,
+            lm_weight=decode_cfg.lm_weight,
         )
     return greedy_generate(
         model, bundle.params, mel, max_len=decode_cfg.max_decode_len,
-        prompt=prompt, eot_id=eot,
+        prompt=prompt, eot_id=eot, temperature=decode_cfg.temperature,
     )

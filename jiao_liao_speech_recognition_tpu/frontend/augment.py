@@ -77,11 +77,67 @@ def _fix_len(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, n - cur)))
 
 
+def _ola_stretch_to(y: jnp.ndarray, n: int, win: int = 512) -> jnp.ndarray:
+    """Length-only granular time stretch [B, m] -> [B, n] (phase-free
+    overlap-add, augmentation-grade). All indices are compile-time constants:
+    output grains sit at hop win//2; analysis grains are read at the constant
+    ratio that spreads the input evenly over the output."""
+    import numpy as np
+
+    m = y.shape[1]
+    if m == n:
+        return y
+    hop = win // 2
+    frames = max((n - win) // hop + 1, 1)
+    a_hop = (m - win) / max(frames - 1, 1)
+    a_start = np.minimum(
+        np.round(np.arange(frames) * a_hop).astype(np.int64), max(m - win, 0)
+    )
+    gather_idx = (a_start[:, None] + np.arange(win)[None, :]).reshape(-1)  # [F*W]
+    scatter_idx = (
+        (np.arange(frames) * hop)[:, None] + np.arange(win)[None, :]
+    ).reshape(-1)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(win) / win))  # hann
+    wflat = np.tile(w, frames).astype(np.float32)
+
+    grains = y[:, gather_idx] * jnp.asarray(wflat)[None, :]
+    out = jnp.zeros((y.shape[0], n), y.dtype).at[:, scatter_idx].add(grains)
+    wsum = (
+        jnp.zeros((n,), jnp.float32).at[jnp.asarray(scatter_idx)].add(jnp.asarray(wflat))
+    )
+    return out / jnp.maximum(wsum, 1e-3)[None, :]
+
+
+def pitch_shift(key, wav: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
+    """Random pitch shift by a whole number of semitones in [lo, hi]
+    (torch-pitch-shift equivalent, SURVEY C4): resample by 2^(s/12) — which
+    shifts pitch AND speed — then granular-OLA time-stretch back to the
+    original length so only pitch moves. Static semitone set keeps every
+    branch shape compile-time constant."""
+    import math
+
+    n = wav.shape[1]
+    shifts = [s for s in range(math.ceil(lo), math.floor(hi) + 1) if s != 0]
+    if not shifts:
+        return wav
+    branches = []
+    for s in shifts:
+        num, den = _rate_to_ratio(2.0 ** (s / 12.0), max_den=64)
+
+        def _b(w, num=num, den=den):
+            y = resample(w, num, den)  # length n*den/num = n / rate
+            return _ola_stretch_to(y, n)
+
+        branches.append(_b)
+    idx = jax.random.randint(key, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, wav)
+
+
 def augment_waveform(key: jax.Array, wav: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
     """Apply the augmentation chain to [B, L] PCM. jit-safe; shape preserved."""
     if not cfg.enabled:
         return wav
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     wav = _with_prob(
         k1, cfg.probability, lambda k, x: random_gain(k, x, *cfg.gain_db), wav
     )
@@ -91,5 +147,12 @@ def augment_waveform(key: jax.Array, wav: jnp.ndarray, cfg: AugmentConfig) -> jn
     if len(cfg.speed_rates) > 1:
         wav = _with_prob(
             k3, cfg.probability, lambda k, x: speed_perturb(k, x, cfg.speed_rates), wav
+        )
+    import math
+
+    lo, hi = cfg.pitch_semitones
+    if any(s != 0 for s in range(math.ceil(lo), math.floor(hi) + 1)):
+        wav = _with_prob(
+            k4, cfg.probability, lambda k, x: pitch_shift(k, x, lo, hi), wav
         )
     return wav

@@ -260,21 +260,43 @@ def _featurize_jit(
     return log_mel_spectrogram(wav, cfg)
 
 
+@lru_cache(maxsize=8)
+def _cmvn_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    from .cmvn import load_cmvn
+
+    return load_cmvn(path)
+
+
 def featurize_batch(wav: jnp.ndarray, cfg: Optional[FrontendConfig] = None) -> jnp.ndarray:
     """Featurize a padded batch [B, chunk_samples] -> [B, mels, frames].
 
     The jit boundary for the on-device frontend; chooses the fused Pallas
-    kernel on TPU and the XLA conv path elsewhere.
+    kernel on TPU and the XLA conv path elsewhere. cmvn="global" applies
+    corpus stats from cfg.cmvn_stats_path (a trace-time constant, so this
+    stays jit-safe) and fails loudly when the stats are missing.
     """
     cfg = cfg or FrontendConfig()
+    if cfg.cmvn not in ("none", "utterance", "global"):
+        raise ValueError(f"unknown cmvn mode {cfg.cmvn!r}")
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
-    return _featurize_jit(
+    feats = _featurize_jit(
         wav,
         cfg.n_fft,
         cfg.hop_length,
         cfg.num_mels,
         cfg.mel_scale,
         cfg.whisper_norm,
-        cfg.cmvn,
+        "utterance" if cfg.cmvn == "utterance" else "none",
         use_pallas,
     )
+    if cfg.cmvn == "global":
+        if not cfg.cmvn_stats_path:
+            raise ValueError(
+                "cmvn='global' needs frontend.cmvn_stats_path — compute stats "
+                "with `cli prepare --cmvn` or frontend.cmvn.compute_corpus_cmvn"
+            )
+        from .cmvn import apply_global_cmvn
+
+        mean, std = _cmvn_stats(cfg.cmvn_stats_path)
+        feats = apply_global_cmvn(feats, mean, std)
+    return feats

@@ -39,6 +39,9 @@ class FrontendConfig:
     log_floor: float = 1e-10
     whisper_norm: bool = True  # clamp to max-8 then (x+4)/4, Whisper-style
     cmvn: str = "none"  # none | utterance | global
+    # corpus stats (.npz with mean/std) for cmvn="global"; produced by
+    # `cli prepare --cmvn` / frontend.cmvn.compute_corpus_cmvn
+    cmvn_stats_path: str = ""
     use_pallas: bool = True  # fused Pallas kernel on TPU, jnp fallback on CPU
 
     @property
@@ -193,12 +196,15 @@ class TrainConfig:
 
 @dataclass
 class DecodeConfig:
-    strategy: str = "greedy"  # greedy | beam (CTC prefix beam / AR beam)
+    strategy: str = "greedy"  # greedy | beam | beam_device
     beam_size: int = 8
     ctc_blank_id: int = 0
     max_decode_len: int = 224  # Whisper AR decode cap
     length_penalty: float = 1.0
-    temperature: float = 0.0
+    temperature: float = 0.0  # whisper greedy: >0 samples softmax(logits/T)
+    # external-LM shallow fusion (decode/lm.py): .npz from `cli train-lm`
+    lm_path: str = ""
+    lm_weight: float = 0.0
 
 
 @dataclass

@@ -100,3 +100,18 @@ def test_native_matches_python(tmp_path):
         bpe_py = ByteLevelBPE(bpe.vocab, [m for m, _ in sorted(bpe.ranks.items(), key=lambda kv: kv[1])], bpe.special)
         bpe_py._native = None
         assert ids_native == bpe_py.encode(text), text
+
+
+def test_specials_protected_in_encode():
+    """<|...|> specials in input text map to their reserved ids (and can be
+    disabled for untrusted text)."""
+    bpe = _tiny_bpe()
+    eot = bpe.special["<|eot|>"]
+    ids = bpe.encode("hello<|eot|>world")
+    assert eot in ids
+    i = ids.index(eot)
+    assert bpe.decode(ids[:i]) == "hello"
+    assert bpe.decode(ids[i + 1:]) == "world"
+    # untrusted mode: treated as plain text, no special id emitted
+    ids2 = bpe.encode("hello<|eot|>world", allow_special=False)
+    assert eot not in ids2

@@ -96,3 +96,62 @@ def test_checked_catches_nan():
     assert np.isfinite(float(f(jnp.asarray(2.0))))
     with pytest.raises(Exception):
         f(jnp.asarray(-1.0))
+
+
+def test_pitch_shift_changes_pitch_preserves_shape():
+    """pitch_semitones is consumed: a pure tone shifted +2 semitones moves
+    its dominant frequency by ~2^(2/12) while keeping length/duration."""
+    from jiao_liao_speech_recognition_tpu.frontend.augment import pitch_shift
+
+    sr, n = 16000, 16000
+    t = np.arange(n) / sr
+    wav = jnp.asarray(np.sin(2 * np.pi * 440.0 * t, dtype=np.float32)[None])
+    # lo=hi band around +2 -> the only branch is +2 semitones
+    out = pitch_shift(jax.random.PRNGKey(0), wav, 1.5, 2.5)
+    assert out.shape == wav.shape
+    spec = np.abs(np.fft.rfft(np.asarray(out)[0, 2000:14000]))
+    freqs = np.fft.rfftfreq(12000, 1 / sr)
+    peak = freqs[np.argmax(spec)]
+    expect = 440.0 * 2 ** (2 / 12)  # ~493.9 Hz
+    assert abs(peak - expect) < 15.0, peak
+
+
+def test_augment_consumes_pitch_config():
+    cfg = AugmentConfig(enabled=True, probability=1.0,
+                        gain_db=(0.0, 0.0), noise_snr_db=(100.0, 100.0),
+                        speed_rates=(1.0,), pitch_semitones=(2.0, 2.0))
+    # degenerate range (lo==hi, no integer in open set) -> config validated:
+    # with lo=hi=2 the integer set is {2}, so pitch DOES apply
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 8000).astype(np.float32))
+    out = augment_waveform(jax.random.PRNGKey(1), wav, cfg)
+    assert out.shape == wav.shape
+    assert np.abs(np.asarray(out) - np.asarray(wav)).max() > 1e-3
+
+
+def test_global_cmvn_wired_into_featurize(tmp_path, rng):
+    """cmvn='global' loads stats from cmvn_stats_path and applies them;
+    a missing path fails loudly instead of silently no-oping."""
+    from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+
+    wav = jnp.asarray(rng.randn(2, 32000).astype(np.float32) * 0.1)
+    base_cfg = FrontendConfig(chunk_seconds=2.0, cmvn="none")
+    feats = featurize_batch(wav, base_cfg)
+
+    acc = GlobalCMVN(base_cfg.num_mels)
+    acc.update(np.asarray(feats))
+    stats = tmp_path / "cmvn.npz"
+    acc.save(stats)
+
+    cfg = FrontendConfig(chunk_seconds=2.0, cmvn="global", cmvn_stats_path=str(stats))
+    got = featurize_batch(wav, cfg)
+    mean, std = load_cmvn(stats)
+    want = apply_global_cmvn(feats, mean, std)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-5
+    # corpus-mean ~0 per mel bin after normalization
+    assert np.abs(np.asarray(got).mean(axis=(0, 2))).max() < 1e-3
+
+    with pytest.raises(ValueError, match="cmvn_stats_path"):
+        featurize_batch(wav, FrontendConfig(chunk_seconds=2.0, cmvn="global"))
+    with pytest.raises(ValueError, match="unknown cmvn"):
+        featurize_batch(wav, FrontendConfig(chunk_seconds=2.0, cmvn="banana"))

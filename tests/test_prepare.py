@@ -74,3 +74,40 @@ def test_prepare_corpus_end_to_end(tmp_path, rng):
     test = read_manifest(outs["test"])
     assert len(train) + len(dev) + len(test) == 12
     assert all(r.dialect == "jiaoliao" for r in train.rows)
+
+
+def test_prepare_cli_subcommand(tmp_path, rng):
+    """`cli prepare` writes split manifests (+ global-CMVN stats with --cmvn)."""
+    import json as _json
+    from pathlib import Path
+
+    from jiao_liao_speech_recognition_tpu.cli import main as cli_main
+    from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+
+    table = tmp_path / "table.tsv"
+    lines = []
+    for i in range(10):
+        wav = (rng.randn(16000) * 0.1).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, wav, 16000)
+        lines.append(f"u{i}.wav\t你好世界{i}")
+    table.write_text("\n".join(lines), encoding="utf-8")
+
+    out_dir = tmp_path / "out"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "prepare", str(table), "--out-dir", str(out_dir),
+            "--audio-root", str(tmp_path), "--dialect", "jiaoliao",
+            "--min-seconds", "0.1", "--cmvn",
+        ])
+    assert rc == 0
+    result = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    for split in ("train", "dev", "test"):
+        assert Path(result[split]).exists(), split
+    stats = np.load(result["cmvn_stats"])
+    assert stats["mean"].shape == (80,) and stats["std"].shape == (80,)
+    assert (stats["std"] > 0).all()

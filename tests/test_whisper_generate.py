@@ -124,3 +124,41 @@ def test_beam_score_not_worse_than_greedy(model_and_params, rng):
     # length_penalty=0 -> pure sequence-logprob comparison of the emitted
     # prefixes (both sequences here run to the horizon without EOT)
     assert seq_logprob(b_gen, b_len) >= seq_logprob(g_gen, g_len) - 1e-3
+
+
+def test_temperature_sampling_consumed(model_and_params, rng):
+    """DecodeConfig.temperature is consumed: T>0 samples (deterministic for
+    a fixed rng, generally different from argmax), T=0 is pure greedy."""
+    model, params = model_and_params
+    mel = jnp.asarray(rng.randn(2, 80, 60).astype(np.float32) * 0.3)
+    g0, _ = greedy_generate(model, params, mel, max_len=12, prompt=PROMPT, eot_id=EOT)
+    key = jax.random.PRNGKey(3)
+    s1, _ = greedy_generate(model, params, mel, max_len=12, prompt=PROMPT,
+                            eot_id=EOT, temperature=2.0, rng=key)
+    s2, _ = greedy_generate(model, params, mel, max_len=12, prompt=PROMPT,
+                            eot_id=EOT, temperature=2.0, rng=key)
+    assert (np.asarray(s1) == np.asarray(s2)).all(), "sampling not deterministic per key"
+    # at T=2 on a random model, sampled tokens differ from argmax w.h.p.
+    assert (np.asarray(s1) != np.asarray(g0)).any()
+
+
+def test_generate_strategy_matrix(model_and_params, rng):
+    """'beam_device' works for whisper and unknown strategies error loudly."""
+    import dataclasses
+
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import generate
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        DecodeConfig, ExperimentConfig,
+    )
+
+    model, params = model_and_params
+    cfg = ExperimentConfig(model_family="whisper", whisper=dataclasses.replace(
+        CFG, prompt_ids=PROMPT, eot_id=EOT))
+    bundle = ModelBundle(config=cfg, params=params, tokenizer=None)
+    mel = jnp.asarray(rng.randn(1, 80, 60).astype(np.float32) * 0.3)
+    g_b, _ = generate(bundle, mel, DecodeConfig(strategy="beam", beam_size=2))
+    g_bd, _ = generate(bundle, mel, DecodeConfig(strategy="beam_device", beam_size=2))
+    assert (np.asarray(g_b) == np.asarray(g_bd)).all()
+    with pytest.raises(ValueError, match="unknown whisper decode"):
+        generate(bundle, mel, DecodeConfig(strategy="banana"))
