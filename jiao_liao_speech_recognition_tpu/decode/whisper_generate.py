@@ -31,6 +31,33 @@ def default_prompt(vocab_size: int = 51865) -> Tuple[int, ...]:
     return (SOT + shift, LANG_ZH + shift, TRANSCRIBE + shift, NO_TIMESTAMPS + shift)
 
 
+def _suppression_masks(vocab_size: int, suppress_ids, begin_suppress_ids):
+    """(always-mask, begin-mask) additive [V] logit masks, or None when
+    empty — HF-generate-parity token suppression."""
+    always = begin = None
+    if suppress_ids:
+        always = jnp.zeros((vocab_size,), jnp.float32).at[
+            jnp.asarray(suppress_ids, jnp.int32)
+        ].set(-1e30)
+    if begin_suppress_ids:
+        begin = jnp.zeros((vocab_size,), jnp.float32).at[
+            jnp.asarray(begin_suppress_ids, jnp.int32)
+        ].set(-1e30)
+    return always, begin
+
+
+def _apply_suppression(logits, pos, prompt_len, always, begin):
+    """Add the suppression masks to [.., V] logits at decode position `pos`
+    (the token being predicted lands at pos+1; the first generated position
+    is prompt_len)."""
+    if always is not None:
+        logits = logits + always
+    if begin is not None:
+        is_first = (pos + 1 == prompt_len).astype(jnp.float32)
+        logits = logits + is_first * begin
+    return logits
+
+
 def greedy_generate(
     model,
     params,
@@ -40,17 +67,24 @@ def greedy_generate(
     eot_id: int = EOT,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    suppress_ids: Tuple[int, ...] = (),
+    begin_suppress_ids: Tuple[int, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy AR decode -> (tokens [B, max_len], lengths [B]). `lengths`
     counts generated tokens excluding the prompt and the EOT.
 
     temperature > 0 samples each token from softmax(logits/T) (the
-    reference's temperature decoding knob); 0 is pure argmax."""
+    reference's temperature decoding knob); 0 is pure argmax.
+    suppress_ids / begin_suppress_ids mirror transformers' generate()
+    defaults (every step / first generated step)."""
     prompt = prompt or default_prompt(model.cfg.vocab_size)
     B = mel.shape[0]
     P = len(prompt)
     if temperature > 0 and rng is None:
         rng = jax.random.PRNGKey(0)
+    sup_always, sup_begin = _suppression_masks(
+        model.cfg.vocab_size, suppress_ids, begin_suppress_ids
+    )
 
     enc = model.apply({"params": params}, mel, method=model.encode)
     caches = model.apply({"params": params}, B, enc, method=model.init_cache)
@@ -64,6 +98,7 @@ def greedy_generate(
         logits, caches = model.apply(
             {"params": params}, tok, pos, enc, caches, method=model.decode_step
         )
+        logits = _apply_suppression(logits, pos, P, sup_always, sup_begin)
         if temperature > 0:
             key = jax.random.fold_in(rng, pos)
             nxt = jax.random.categorical(
@@ -105,6 +140,8 @@ def beam_generate(
     eot_id: int = EOT,
     lm_bigram: Optional[jnp.ndarray] = None,  # [V, V] log P(next|prev)
     lm_weight: float = 0.0,
+    suppress_ids: Tuple[int, ...] = (),
+    begin_suppress_ids: Tuple[int, ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched AR beam search with KV caches, fully on device.
 
@@ -125,6 +162,9 @@ def beam_generate(
     V = model.cfg.vocab_size
     NEG = -1e30
 
+    sup_always, sup_begin = _suppression_masks(
+        model.cfg.vocab_size, suppress_ids, begin_suppress_ids
+    )
     enc = model.apply({"params": params}, mel, method=model.encode)
     enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
     caches = model.apply({"params": params}, B * K, enc, method=model.init_cache)
@@ -150,6 +190,7 @@ def beam_generate(
         logits, new_caches = model.apply(
             {"params": params}, tok, pos, enc, caches, method=model.decode_step
         )
+        logits = _apply_suppression(logits, pos, P, sup_always, sup_begin)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
         if lm_bigram is not None and lm_weight > 0.0:
             # shallow fusion: + w * log P_LM(next | current token)
@@ -261,8 +302,12 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
             eot_id=eot,
             lm_bigram=lm_bigram,
             lm_weight=decode_cfg.lm_weight,
+            suppress_ids=bundle.config.whisper.suppress_ids,
+            begin_suppress_ids=bundle.config.whisper.begin_suppress_ids,
         )
     return greedy_generate(
         model, bundle.params, mel, max_len=decode_cfg.max_decode_len,
         prompt=prompt, eot_id=eot, temperature=decode_cfg.temperature,
+        suppress_ids=bundle.config.whisper.suppress_ids,
+        begin_suppress_ids=bundle.config.whisper.begin_suppress_ids,
     )

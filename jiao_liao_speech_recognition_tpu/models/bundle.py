@@ -64,6 +64,8 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
                 decode_cfg.lm_path, config.whisper.vocab_size
             )
 
+        sup = config.whisper.suppress_ids
+        bsup = config.whisper.begin_suppress_ids
         if use_beam:
             def run(params, mel):
                 return wg.beam_generate(
@@ -73,6 +75,7 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
                     length_penalty=decode_cfg.length_penalty,
                     prompt=prompt, eot_id=eot,
                     lm_bigram=lm_bigram, lm_weight=decode_cfg.lm_weight,
+                    suppress_ids=sup, begin_suppress_ids=bsup,
                 )
         else:
             def run(params, mel):
@@ -80,6 +83,7 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
                     model, params, mel, max_len=decode_cfg.max_decode_len,
                     prompt=prompt, eot_id=eot,
                     temperature=decode_cfg.temperature,
+                    suppress_ids=sup, begin_suppress_ids=bsup,
                 )
 
         fn = jax.jit(run)

@@ -159,6 +159,24 @@ def hf_state_dict_to_flax(sd: Dict[str, np.ndarray], cfg) -> Dict:
     return {"encoder": enc, "decoder": dec}
 
 
+def load_hf_generation_constraints(path: str | Path) -> Dict[str, tuple]:
+    """Read generation_config.json (HF layout) for the decode-time token
+    constraints transformers' generate() applies by default: suppress_tokens
+    (masked every step) and begin_suppress_tokens (first generated step).
+    Returns {} entries when absent so callers can cfg-merge unconditionally.
+    """
+    p = Path(path)
+    gc = p / "generation_config.json" if p.is_dir() else None
+    out = {"suppress_ids": (), "begin_suppress_ids": ()}
+    if gc is not None and gc.exists():
+        data = json.loads(gc.read_text(encoding="utf-8"))
+        out["suppress_ids"] = tuple(int(t) for t in data.get("suppress_tokens") or ())
+        out["begin_suppress_ids"] = tuple(
+            int(t) for t in data.get("begin_suppress_tokens") or ()
+        )
+    return out
+
+
 def load_hf_whisper(path: str | Path, cfg) -> Dict:
     """Load an HF Whisper checkpoint directory or .safetensors file into a
     Flax param tree matching models.whisper.WhisperModel."""

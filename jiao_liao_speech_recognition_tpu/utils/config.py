@@ -136,6 +136,11 @@ class WhisperConfig:
     # prompt (decode/whisper_generate.default_prompt), eot_id<0 -> standard EOT
     eot_id: int = -1
     prompt_ids: Tuple[int, ...] = ()
+    # HF-generate-parity token suppression: suppress_ids masked at EVERY
+    # step, begin_suppress_ids only at the first generated position
+    # (imported from generation_config.json by whisper_import)
+    suppress_ids: Tuple[int, ...] = ()
+    begin_suppress_ids: Tuple[int, ...] = ()
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
 

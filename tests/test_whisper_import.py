@@ -152,3 +152,84 @@ def test_generate_token_parity_with_transformers(hf_whisper, rng):
         n = min(len(ours), len(ref))
         assert n >= max_new - 2, (b, ours, ref)
         assert [int(t) for t in ours[:n]] == ref[:n], (b, ours, ref)
+
+
+def test_generate_parity_with_hf_suppression(hf_whisper, rng):
+    """Token suppression parity: suppress_tokens (every step) and
+    begin_suppress_tokens (first generated step) match transformers'
+    generate() semantics on the same imported weights."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import greedy_generate
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    model_t, hf_cfg, ckpt_dir = hf_whisper
+    cfg = WhisperConfig(
+        vocab_size=200, num_mels=80, d_model=64, encoder_layers=2,
+        decoder_layers=2, num_heads=4, mlp_dim=128, max_source_positions=150,
+        max_target_positions=32, dtype="float32", use_flash_attention=False,
+    )
+    params = load_hf_whisper(ckpt_dir, cfg)
+    mel = rng.randn(1, 80, 300).astype(np.float32) * 0.5
+    max_new = 10
+
+    # find what unsuppressed greedy decode would emit, then suppress exactly
+    # those ids so the constraint provably changes the output
+    model_j = WhisperModel(cfg)
+    with jax.default_matmul_precision("highest"):
+        gen0, n0 = greedy_generate(
+            model_j, params, jnp.asarray(mel), max_len=max_new + 1,
+            prompt=(1,), eot_id=2,
+        )
+    first = int(np.asarray(gen0)[0][0])
+    later = int(np.asarray(gen0)[0][1])
+    suppress = [later]
+    begin_suppress = [first] if first != later else []
+
+    from transformers.generation import GenerationConfig
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=max_new, do_sample=False, num_beams=1,
+        suppress_tokens=suppress, begin_suppress_tokens=begin_suppress,
+        decoder_start_token_id=1,
+    )
+    with torch.no_grad():
+        ref_ids = model_t.generate(
+            input_features=torch.tensor(mel), generation_config=gen_cfg
+        ).numpy()
+
+    with jax.default_matmul_precision("highest"):
+        gen, lengths = greedy_generate(
+            model_j, params, jnp.asarray(mel), max_len=max_new + 1,
+            prompt=(1,), eot_id=2,
+            suppress_ids=tuple(suppress),
+            begin_suppress_ids=tuple(begin_suppress),
+        )
+    ours = [int(t) for t in np.asarray(gen)[0][: int(lengths[0])]]
+    ref = [int(t) for t in ref_ids[0][1:] if t != 2][:max_new]
+    n = min(len(ours), len(ref))
+    assert n >= max_new - 2, (ours, ref)
+    assert ours[:n] == ref[:n], (ours, ref)
+    assert later not in ours
+    if begin_suppress:
+        assert (not ours) or ours[0] != first
+
+
+def test_load_hf_generation_constraints(tmp_path):
+    import json as _json
+
+    from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+        load_hf_generation_constraints,
+    )
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    assert load_hf_generation_constraints(d) == {
+        "suppress_ids": (), "begin_suppress_ids": (),
+    }
+    (d / "generation_config.json").write_text(
+        _json.dumps({"suppress_tokens": [5, 6], "begin_suppress_tokens": [7]})
+    )
+    got = load_hf_generation_constraints(d)
+    assert got == {"suppress_ids": (5, 6), "begin_suppress_ids": (7,)}
