@@ -23,9 +23,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _large_v3_config(adapter_kind: str = "wf"):
@@ -151,7 +155,13 @@ def run_tpu(enc_batch: int = 16, dec_batch: int = 8, max_len: int = 64) -> None:
     model = WhisperModel(cfg.whisper)
     t0 = time.time()
     params = ModelBundle._init_params(cfg)
-    print(f"init {time.time()-t0:.0f}s", flush=True)
+    # bf16 inference weights: AR decode is weight-read-bound (the whole
+    # 1.55 B-param tree streams from HBM every token), so halving the bytes
+    # nearly halves the per-token latency and frees ~3 GB for batch
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    print(f"init {time.time()-t0:.0f}s (params cast to bf16)", flush=True)
 
     fe = cfg.frontend
     secs = 30.0

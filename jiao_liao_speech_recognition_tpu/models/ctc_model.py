@@ -24,18 +24,28 @@ from .layers import TransformerBlock, length_mask, sinusoidal_positions
 
 
 class ConvSubsampler(nn.Module):
-    """Two stride-2 Conv1d + GELU: [B, T, mels] -> [B, T//4, d_model]."""
+    """log2(factor) stride-2 Conv1d + GELU: [B, T, mels] -> [B, T//factor,
+    d_model]. factor=4 (the SB-recipe default) gives the conv1/conv2 stack;
+    other powers of two scale the stack."""
 
     d_model: int
     channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    factor: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.channels, (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype, name="conv1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.d_model, (3,), strides=(2,), padding=((1, 1),), dtype=self.dtype, name="conv2")(x)
-        return nn.gelu(x, approximate=False)
+        n = max(self.factor, 2).bit_length() - 1
+        if (1 << n) != self.factor:
+            raise ValueError(f"subsample_factor must be a power of 2, got {self.factor}")
+        for i in range(n):
+            feats = self.d_model if i == n - 1 else self.channels
+            x = nn.Conv(
+                feats, (3,), strides=(2,), padding=((1, 1),),
+                dtype=self.dtype, name=f"conv{i + 1}",
+            )(x)
+            x = nn.gelu(x, approximate=False)
+        return x
 
 
 class CTCEncoderModel(nn.Module):
@@ -53,15 +63,26 @@ class CTCEncoderModel(nn.Module):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         B, M, T = features.shape
+        if T > cfg.max_frames:
+            raise ValueError(
+                f"input has {T} frames > max_frames={cfg.max_frames}; raise "
+                "CTCModelConfig.max_frames or chunk the audio"
+            )
         if feature_lengths is None:
             feature_lengths = jnp.full((B,), T, dtype=jnp.int32)
 
         x = features.transpose(0, 2, 1).astype(dtype)  # [B, T, M]
-        x = ConvSubsampler(cfg.d_model, cfg.conv_channels, dtype, name="subsample")(x)
+        x = ConvSubsampler(
+            cfg.d_model, cfg.conv_channels, dtype, cfg.subsample_factor,
+            name="subsample",
+        )(x)
         t_out = x.shape[1]
-        # ceil-division length propagation through two stride-2 convs (pad=1)
-        out_lengths = (feature_lengths + 1) // 2
-        out_lengths = (out_lengths + 1) // 2
+        # ceil-division length propagation through the stride-2 convs (pad=1)
+        out_lengths = feature_lengths
+        f = cfg.subsample_factor
+        while f > 1:
+            out_lengths = (out_lengths + 1) // 2
+            f //= 2
 
         x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None, :, :]
         if cfg.dropout > 0:

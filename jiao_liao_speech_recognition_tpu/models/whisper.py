@@ -41,6 +41,12 @@ class WhisperEncoder(nn.Module):
         x = nn.Conv(cfg.d_model, (3,), strides=(2,), padding=((1, 1),), dtype=dtype, name="conv2")(x)
         x = nn.gelu(x, approximate=False)
         t = x.shape[1]
+        if t > cfg.max_source_positions:
+            raise ValueError(
+                f"{t} encoder positions > max_source_positions="
+                f"{cfg.max_source_positions} (Whisper's fixed receptive "
+                "field, SURVEY §5.7); chunk the audio to 30 s"
+            )
         x = x + sinusoidal_positions(t, cfg.d_model, dtype)[None]
         ad = cfg.adapter if cfg.adapter.kind != "none" else None
         for i in range(cfg.encoder_layers):

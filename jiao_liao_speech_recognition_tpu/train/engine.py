@@ -324,7 +324,10 @@ def train_loop(
     model, loss_fn, tx, jitted_step = build_train_setup(config, params, mesh)
     state = init_state(config, tx, params, config.train.seed)
 
-    it = PrefetchIterator(BatchIterator(manifest, tokenizer, config.data))
+    it = PrefetchIterator(
+        BatchIterator(manifest, tokenizer, config.data),
+        depth=max(config.data.num_host_workers, 1),
+    )
     ckpt_dir = checkpoint_dir or config.train.checkpoint_dir
     ckpt = TrainCheckpointer(ckpt_dir, config.train.keep_checkpoints)
     start_step = 0
@@ -408,6 +411,20 @@ def run_experiment(config: ExperimentConfig, resume: bool = False):
     from ..models.bundle import ModelBundle
 
     manifest = read_manifest(config.data.train_manifest)
+    if config.data.dialect_weights:
+        # joint multi-dialect mixing by manifest dialect tags (SURVEY 3.4);
+        # stage-level mixing lives in train/schedules.py, this covers the
+        # single-run weighted-mixture setup
+        from ..data.pipeline import mix_manifests
+        from ..data.manifest import Manifest
+
+        groups: dict = {}
+        for row in manifest.rows:
+            groups.setdefault(row.dialect or "default", []).append(row)
+        manifest = mix_manifests(
+            {k: Manifest(v) for k, v in groups.items()},
+            dict(config.data.dialect_weights),
+        )
     tokenizer = build_tokenizer_for(config, manifest)
     params = ModelBundle._init_params(config, seed=config.train.seed)
 
