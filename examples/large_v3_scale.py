@@ -56,8 +56,21 @@ def _large_v3_config(adapter_kind: str = "wf"):
 
 
 def run_cpu8() -> None:
+    # 8 virtual devices time-slice ONE host core here, so a long matmul
+    # chunk can starve a collective rendezvous past XLA:CPU's default 40 s
+    # terminate timeout; raise it before the backend initializes
+    flags = (
+        "--xla_cpu_collective_call_terminate_timeout_seconds=7200 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    )
+    if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flags
+        ).strip()
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
         raise RuntimeError("run under JAX_PLATFORMS=cpu with 8 forced host devices")
     import jax.numpy as jnp

@@ -46,7 +46,7 @@ def featurize(
 
     cfg = cfg or FrontendConfig()
     if isinstance(wav, (str,)) or hasattr(wav, "__fspath__"):
-        wav, sample_rate = audio_io.read_wav(wav)
+        wav, sample_rate = audio_io.read_audio(wav)
     if isinstance(wav, np.ndarray) and wav.ndim == 1:
         wavs = [wav]
     elif isinstance(wav, np.ndarray):

@@ -19,7 +19,7 @@ import numpy as np
 from ..utils.config import DataConfig
 from .manifest import Manifest, ManifestRow
 from .tokenizer import CharTokenizer
-from ..frontend.audio_io import read_wav
+from ..frontend.audio_io import read_audio
 from ..frontend.resample import resample
 
 
@@ -145,7 +145,7 @@ class BatchIterator:
         llen = np.zeros((B,), np.int32)
         texts = []
         for i, r in enumerate(rows):
-            pcm, sr = read_wav(r.audio)
+            pcm, sr = read_audio(r.audio)
             if sr != self.sample_rate:
                 import jax.numpy as jnp
 

@@ -87,7 +87,9 @@ def greedy_generate(
     )
 
     enc = model.apply({"params": params}, mel, method=model.encode)
-    caches = model.apply({"params": params}, B, enc, method=model.init_cache)
+    caches = model.apply(
+        {"params": params}, B, enc, max_len, method=model.init_cache
+    )
 
     tokens0 = jnp.full((B, max_len), eot_id, jnp.int32)
     tokens0 = tokens0.at[:, :P].set(jnp.asarray(prompt, jnp.int32)[None])
@@ -167,7 +169,9 @@ def beam_generate(
     )
     enc = model.apply({"params": params}, mel, method=model.encode)
     enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
-    caches = model.apply({"params": params}, B * K, enc, method=model.init_cache)
+    caches = model.apply(
+        {"params": params}, B * K, enc, max_len, method=model.init_cache
+    )
 
     tokens0 = jnp.full((B, K, max_len), eot_id, jnp.int32)
     tokens0 = tokens0.at[:, :, :P].set(jnp.asarray(prompt, jnp.int32)[None, None])

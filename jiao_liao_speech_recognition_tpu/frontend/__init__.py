@@ -8,7 +8,7 @@ norm) runs on-device: XLA-fused jnp everywhere, with a fused Pallas kernel
 on TPU for the STFT+mel stage.
 """
 
-from .audio_io import read_wav, write_wav  # noqa: F401
+from .audio_io import read_audio, read_flac, read_wav, write_wav  # noqa: F401
 from .resample import resample  # noqa: F401
 from .features import (  # noqa: F401
     log_mel_spectrogram,

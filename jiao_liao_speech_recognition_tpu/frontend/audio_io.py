@@ -1,9 +1,10 @@
 """Host-side audio decode: WAV via the C++ decoder (native/wavio.cpp) with a
-stdlib-`wave` fallback.
+stdlib-`wave` fallback; FLAC via the C++ decoder (native/flacio.cpp).
 
 Replaces the reference's libsndfile/audioread decode path
-(/root/reference/requirements.txt:8,69; SURVEY.md C2, N5). Decoding stays on
-host by design — the device pipeline starts at raw PCM float32.
+(/root/reference/requirements.txt:8,69; SURVEY.md C2, N5 "chunked WAV/FLAC").
+Decoding stays on host by design — the device pipeline starts at raw PCM
+float32. `read_audio` dispatches on file suffix.
 """
 
 from __future__ import annotations
@@ -15,6 +16,25 @@ from typing import Tuple
 import numpy as np
 
 from ..utils import native_ext
+
+
+def read_audio(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC -> (mono float32 PCM in [-1, 1], sample_rate),
+    dispatched on the file suffix."""
+    if str(path).lower().endswith(".flac"):
+        return read_flac(path)
+    return read_wav(path)
+
+
+def read_flac(path: str | Path) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file via the C++ decoder (native/flacio.cpp). There is
+    no pure-Python fallback — `make -C native` (or CLI build-native) first."""
+    if not native_ext.native_available("flacio"):
+        raise RuntimeError(
+            "FLAC decode needs the native library: run `make -C native` or "
+            "`python -m jiao_liao_speech_recognition_tpu.cli build-native`"
+        )
+    return native_ext.load_flacio().read(str(path))
 
 
 def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:

@@ -276,7 +276,7 @@ class ModelBundle:
 
         def one(a):
             if isinstance(a, (str, Path)):
-                return audio_io.read_wav(a)
+                return audio_io.read_audio(a)
             return np.asarray(a, np.float32), (sample_rate or fe.sample_rate)
 
         if isinstance(audio, (str, Path)):

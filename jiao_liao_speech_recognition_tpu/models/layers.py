@@ -43,8 +43,12 @@ def dot_product_attention(
     use_flash: bool = False,
 ) -> jnp.ndarray:
     """[B, T, H, Dh] attention. mask: broadcastable to [B, H, Tq, Tk], True =
-    attend. Softmax in f32 for stability regardless of compute dtype."""
-    if use_flash and jax.default_backend() == "tpu":
+    attend. Softmax in f32 for stability regardless of compute dtype.
+
+    The flash kernel only pays off for long query blocks: KV-cached decode
+    steps (Tq=1) would be padded to a full BLOCK_Q of wasted MXU rows, so
+    short queries take the XLA einsum path."""
+    if use_flash and q.shape[1] >= 64 and jax.default_backend() == "tpu":
         from ..ops.flash_attention import flash_attention
 
         try:
@@ -120,6 +124,7 @@ class MultiHeadAttention(nn.Module):
         if (
             self.use_flash
             and dh % 128 == 0
+            and Tq >= 64  # decode steps (Tq=1) would pad to a wasted BLOCK_Q
             and jax.default_backend() == "tpu"
         ):
             # zero-transpose fast path: the Pallas kernel addresses heads by

@@ -104,21 +104,29 @@ class WhisperDecoder(nn.Module):
         return logits
 
     # ---------------------------------------------------------------- decode
-    def init_cache(self, batch: int, enc: jnp.ndarray) -> Dict:
-        """Build per-layer KV caches: zeroed self caches [B, max_target, d]
+    def init_cache(self, batch: int, enc: jnp.ndarray, max_len: Optional[int] = None) -> Dict:
+        """Build per-layer KV caches: zeroed self caches [B, T_cache, d]
         plus cross-attention K/V precomputed ONCE from the encoder output —
         the reference recomputes nothing either (HF static cross cache), and
         skipping the per-step [B, T_enc, d] projections is worth ~2 matmuls
-        x layers per generated token."""
+        x layers per generated token.
+
+        T_cache = min(max_len, max_target_positions): the self caches are
+        re-read end to end EVERY decode step, so sizing them to the actual
+        decode horizon instead of the 448-position ceiling cuts real HBM
+        traffic (decode_step derives its key mask from the cache shape)."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
+        t_cache = cfg.max_target_positions
+        if max_len is not None:
+            t_cache = min(max_len, t_cache)
         caches = {}
         for i, blk in enumerate(self.blocks):
             cross = blk(None, enc=enc, precompute_cross=True)
             entry = {
                 "self": {
-                    "k": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
-                    "v": jnp.zeros((batch, cfg.max_target_positions, cfg.d_model), dtype),
+                    "k": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
+                    "v": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
                 },
                 "cross": cross,
             }
@@ -128,8 +136,8 @@ class WhisperDecoder(nn.Module):
                 ad_dim = cfg.adapter.att_num_heads * cfg.adapter.att_key_dim
                 entry["slots"] = {
                     s: {
-                        "k": jnp.zeros((batch, cfg.max_target_positions, ad_dim), dtype),
-                        "v": jnp.zeros((batch, cfg.max_target_positions, ad_dim), dtype),
+                        "k": jnp.zeros((batch, t_cache, ad_dim), dtype),
+                        "v": jnp.zeros((batch, t_cache, ad_dim), dtype),
                     }
                     for s in ("post_attn", "post_mlp")
                 }
@@ -150,10 +158,9 @@ class WhisperDecoder(nn.Module):
         x = x + jax.lax.dynamic_slice(
             self.embed_positions, (pos, 0), (1, cfg.d_model)
         ).astype(dtype)[None]
-        # mask: keys 0..pos valid
-        kmask = (
-            jnp.arange(cfg.max_target_positions)[None, None, None, :] <= pos
-        )
+        # mask: keys 0..pos valid, over the actual cache horizon
+        t_cache = caches["block_0"]["self"]["k"].shape[1]
+        kmask = jnp.arange(t_cache)[None, None, None, :] <= pos
         enc_mask = (
             length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None
         )
@@ -207,5 +214,5 @@ class WhisperModel(nn.Module):
     def decode_step(self, token, pos, enc, caches, enc_lengths=None):
         return self.decoder.decode_step(token, pos, enc, caches, enc_lengths)
 
-    def init_cache(self, batch: int, enc: jnp.ndarray) -> Dict:
-        return self.decoder.init_cache(batch, enc)
+    def init_cache(self, batch: int, enc: jnp.ndarray, max_len: Optional[int] = None) -> Dict:
+        return self.decoder.init_cache(batch, enc, max_len)

@@ -101,6 +101,61 @@ def load_wavio():
     return _WavIO()
 
 
+@lru_cache(maxsize=None)
+def load_flacio():
+    """Load the C++ FLAC decoder (native/flacio.cpp).
+
+    Returns an object with ``info(path) -> (frames, sample_rate, channels)``
+    and ``read(path) -> (np.float32 mono pcm, sample_rate)``.
+    """
+    lib = ctypes.CDLL(str(_lib_path("flacio")))
+    lib.jl_flac_info.restype = ctypes.c_int32
+    lib.jl_flac_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.jl_flac_read.restype = ctypes.c_int32
+    lib.jl_flac_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
+    class _FlacIO:
+        @staticmethod
+        def info(path: str):
+            frames = ctypes.c_int64()
+            sr = ctypes.c_int32()
+            ch = ctypes.c_int32()
+            rc = lib.jl_flac_info(
+                str(path).encode(), ctypes.byref(frames), ctypes.byref(sr),
+                ctypes.byref(ch),
+            )
+            if rc != 0:
+                raise IOError(f"flacio: cannot read header of {path} (rc={rc})")
+            return frames.value, sr.value, ch.value
+
+        @staticmethod
+        def read(path: str):
+            frames, sr, _ch = _FlacIO.info(path)
+            out = np.empty(max(frames, 1), dtype=np.float32)
+            decoded = ctypes.c_int64()
+            rc = lib.jl_flac_read(
+                str(path).encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames,
+                ctypes.byref(decoded),
+            )
+            if rc != 0:
+                raise IOError(f"flacio: decode failed for {path} (rc={rc})")
+            return out[: decoded.value], sr
+
+    return _FlacIO()
+
+
 def load_bpe(tokenizer):
     """Bind the C++ BPE merge loop (native/bpe.cpp) to a ByteLevelBPE
     instance: merge rules become (left<<32|right) keys over vocab ids.
