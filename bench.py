@@ -29,7 +29,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_decode
+    from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_collapse
     from jiao_liao_speech_recognition_tpu.frontend.features import (
         featurize_batch,
         log_mel_spectrogram,
@@ -59,12 +59,14 @@ def main() -> None:
 
     @jax.jit
     def infer(params, wav, lengths):
-        # fused Pallas frontend on TPU, XLA conv path elsewhere
+        # fused Pallas frontend on TPU, XLA conv path elsewhere; greedy
+        # decode via the fused head+argmax kernel (logits never hit HBM)
         feats = featurize_batch(wav, fe)
-        log_probs, out_lens = model.apply(
-            {"params": params}, feats, lengths // fe.hop_length, deterministic=True
+        ids, out_lens = model.apply(
+            {"params": params}, feats, lengths // fe.hop_length,
+            deterministic=True, head_mode="argmax_ids",
         )
-        ids, n = ctc_greedy_decode(log_probs, out_lens)
+        ids, n = ctc_greedy_collapse(ids, out_lens)
         return ids, n
 
     # distinct input batches: identical repeated dispatches can be memoized

@@ -202,7 +202,10 @@ def main(argv=None) -> int:
     pe.add_argument("--checkpoint")
     pe.add_argument("--config")
     pe.add_argument("--batch-size", type=int, default=16)
-    pe.add_argument("--decode", default="greedy", choices=["greedy", "beam", "beam_device"])
+    pe.add_argument(
+        "--decode", default="greedy",
+        choices=["greedy", "beam", "beam_device", "ctc_greedy"],
+    )
     pe.add_argument("--beam-size", type=int, default=8)
     pe.add_argument("--lm-path", default="", help="n-gram LM .npz for shallow fusion")
     pe.add_argument("--lm-weight", type=float, default=None)

@@ -78,7 +78,33 @@ def greedy_generate(
     suppress_ids / begin_suppress_ids mirror transformers' generate()
     defaults (every step / first generated step)."""
     prompt = prompt or default_prompt(model.cfg.vocab_size)
-    B = mel.shape[0]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    return greedy_from_enc(
+        model, params, enc, None, max_len=max_len, prompt=prompt,
+        eot_id=eot_id, temperature=temperature, rng=rng,
+        suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
+    )
+
+
+def greedy_from_enc(
+    model,
+    params,
+    enc: jnp.ndarray,  # [B, T, d] encoder output
+    enc_lengths: Optional[jnp.ndarray] = None,  # [B] valid encoder frames
+    max_len: int = 224,
+    prompt: Tuple[int, ...] = (),
+    eot_id: int = EOT,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    suppress_ids: Tuple[int, ...] = (),
+    begin_suppress_ids: Tuple[int, ...] = (),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy AR decode loop over a precomputed encoder output — the shared
+    core behind Whisper greedy_generate and the joint CTC/attention model's
+    attention decode (decode/joint_generate.py). `enc_lengths` masks padded
+    encoder frames in cross-attention (bucketed joint batches; Whisper's
+    fixed 30 s windows pass None)."""
+    B = enc.shape[0]
     P = len(prompt)
     if temperature > 0 and rng is None:
         rng = jax.random.PRNGKey(0)
@@ -86,7 +112,6 @@ def greedy_generate(
         model.cfg.vocab_size, suppress_ids, begin_suppress_ids
     )
 
-    enc = model.apply({"params": params}, mel, method=model.encode)
     caches = model.apply(
         {"params": params}, B, enc, max_len, method=model.init_cache
     )
@@ -98,7 +123,8 @@ def greedy_generate(
         tokens, caches, pos, done = carry
         tok = jax.lax.dynamic_slice(tokens, (0, pos), (B, 1))
         logits, caches = model.apply(
-            {"params": params}, tok, pos, enc, caches, method=model.decode_step
+            {"params": params}, tok, pos, enc, caches, enc_lengths,
+            method=model.decode_step,
         )
         logits = _apply_suppression(logits, pos, P, sup_always, sup_begin)
         if temperature > 0:
@@ -158,7 +184,40 @@ def beam_generate(
     the model log-probs before top-k.
     """
     prompt = prompt or default_prompt(model.cfg.vocab_size)
-    B = mel.shape[0]
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    gen, lengths, scores = beam_from_enc(
+        model, params, enc, None, beam_size=beam_size, max_len=max_len,
+        prompt=prompt, eot_id=eot_id, lm_bigram=lm_bigram,
+        lm_weight=lm_weight, suppress_ids=suppress_ids,
+        begin_suppress_ids=begin_suppress_ids,
+    )
+    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
+    best = jnp.argmax(scores / norm, axis=1)  # [B]
+    gen_best = jnp.take_along_axis(gen, best[:, None, None], axis=1)[:, 0]
+    len_best = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+    return gen_best, len_best
+
+
+def beam_from_enc(
+    model,
+    params,
+    enc: jnp.ndarray,  # [B, T, d] encoder output
+    enc_lengths: Optional[jnp.ndarray] = None,
+    beam_size: int = 4,
+    max_len: int = 224,
+    prompt: Tuple[int, ...] = (),
+    eot_id: int = EOT,
+    lm_bigram: Optional[jnp.ndarray] = None,
+    lm_weight: float = 0.0,
+    suppress_ids: Tuple[int, ...] = (),
+    begin_suppress_ids: Tuple[int, ...] = (),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Beam-search loop over a precomputed encoder output. Returns ALL beams
+    per utterance — (tokens [B, K, L] past prompt, lengths [B, K],
+    scores [B, K]) — so callers choose the ranking rule: Whisper's
+    beam_generate applies a length penalty, joint_generate rescores with the
+    CTC branch before selecting (SpeechBrain-style joint decoding)."""
+    B = enc.shape[0]
     K = beam_size
     P = len(prompt)
     V = model.cfg.vocab_size
@@ -167,8 +226,10 @@ def beam_generate(
     sup_always, sup_begin = _suppression_masks(
         model.cfg.vocab_size, suppress_ids, begin_suppress_ids
     )
-    enc = model.apply({"params": params}, mel, method=model.encode)
     enc = jnp.repeat(enc, K, axis=0)  # [B*K, T, d]
+    enc_lengths = (
+        jnp.repeat(enc_lengths, K, axis=0) if enc_lengths is not None else None
+    )
     caches = model.apply(
         {"params": params}, B * K, enc, max_len, method=model.init_cache
     )
@@ -192,7 +253,8 @@ def beam_generate(
         tokens, scores, finished, caches, pos = carry
         tok = jax.lax.dynamic_slice(tokens, (0, 0, pos), (B, K, 1)).reshape(B * K, 1)
         logits, new_caches = model.apply(
-            {"params": params}, tok, pos, enc, caches, method=model.decode_step
+            {"params": params}, tok, pos, enc, caches, enc_lengths,
+            method=model.decode_step,
         )
         logits = _apply_suppression(logits, pos, P, sup_always, sup_begin)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
@@ -242,11 +304,7 @@ def beam_generate(
     is_eot = gen == eot_id
     first_eot = jnp.argmax(is_eot, axis=2)
     lengths = jnp.where(jnp.any(is_eot, axis=2), first_eot, gen.shape[2])  # [B, K]
-    norm = jnp.maximum(lengths, 1).astype(jnp.float32) ** length_penalty
-    best = jnp.argmax(scores / norm, axis=1)  # [B]
-    gen_best = jnp.take_along_axis(gen, best[:, None, None], axis=1)[:, 0]
-    len_best = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
-    return gen_best, len_best
+    return gen, lengths, scores
 
 
 def load_bigram_matrix(lm_path: str, vocab_size: int) -> jnp.ndarray:

@@ -29,7 +29,7 @@ from ..utils.config import (
 from ..data.tokenizer import CharTokenizer
 from ..frontend import audio_io, features
 from ..frontend.resample import resample as _resample
-from ..decode.ctc import ctc_greedy_decode, ctc_prefix_beam_search, ids_to_texts
+from ..decode.ctc import ctc_prefix_beam_search, ids_to_texts
 
 
 # jitted encode functions memoized by model-structure signature: in-training
@@ -91,6 +91,56 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
     return fn
 
 
+def _joint_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig):
+    """Memoized jitted decode for the joint CTC/attention family:
+    greedy/beam = attention decode (beam adds CTC joint rescoring,
+    decode/joint_generate.py); ctc_greedy = the CTC branch's fused
+    head+argmax fast path."""
+    key = (
+        "jgen",
+        json.dumps(to_dict(config.joint), sort_keys=True),
+        json.dumps(to_dict(decode_cfg), sort_keys=True),
+    )
+    fn = _ENCODE_FN_CACHE.get(key)
+    if fn is None:
+        from ..decode import joint_generate as jg
+        from ..decode.ctc import ctc_greedy_collapse
+        from .joint import JointCTCAttentionModel
+
+        model = JointCTCAttentionModel(config.joint)
+        strategy = decode_cfg.strategy
+        if strategy not in ("greedy", "beam", "beam_device", "ctc_greedy"):
+            raise ValueError(f"unknown joint decode strategy {strategy!r}")
+
+        if strategy == "ctc_greedy":
+            def run(params, feats, flens):
+                enc, out_lens = model.apply(
+                    {"params": params}, feats, flens, method=model.encode
+                )
+                ids = model.apply(
+                    {"params": params}, enc, method=model.ctc_argmax_ids
+                )
+                return ctc_greedy_collapse(ids, out_lens, decode_cfg.ctc_blank_id)
+        elif strategy == "greedy":
+            def run(params, feats, flens):
+                return jg.joint_greedy(
+                    model, params, feats, flens,
+                    max_len=decode_cfg.max_decode_len,
+                )
+        else:
+            def run(params, feats, flens):
+                return jg.joint_beam(
+                    model, params, feats, flens,
+                    beam_size=decode_cfg.beam_size,
+                    max_len=decode_cfg.max_decode_len,
+                    length_penalty=decode_cfg.length_penalty,
+                )
+
+        fn = jax.jit(run)
+        _ENCODE_FN_CACHE[key] = fn
+    return fn
+
+
 def _encode_fn_for(config: ExperimentConfig):
     sub = config.ctc_model if config.model_family == "ctc" else config.whisper
     key = (config.model_family, json.dumps(to_dict(sub), sort_keys=True))
@@ -101,6 +151,33 @@ def _encode_fn_for(config: ExperimentConfig):
         @jax.jit
         def fn(params, f, fl):
             return model.apply({"params": params}, f, fl, deterministic=True)
+
+        _ENCODE_FN_CACHE[key] = fn
+    return fn
+
+
+def _ctc_greedy_fn_for(config: ExperimentConfig, blank_id: int):
+    """Memoized jitted fast greedy path: trunk -> fused head+argmax kernel
+    (ops/fused_head.py; no [B,T,V] HBM round-trips) -> on-device collapse."""
+    key = (
+        "ctc_greedy",
+        json.dumps(to_dict(config.ctc_model), sort_keys=True),
+        blank_id,
+    )
+    fn = _ENCODE_FN_CACHE.get(key)
+    if fn is None:
+        from ..decode.ctc import ctc_greedy_collapse
+        from .ctc_model import CTCEncoderModel
+
+        model = CTCEncoderModel(config.ctc_model)
+
+        @jax.jit
+        def fn(params, f, fl):
+            ids, out_lens = model.apply(
+                {"params": params}, f, fl, deterministic=True,
+                head_mode="argmax_ids",
+            )
+            return ctc_greedy_collapse(ids, out_lens, blank_id)
 
         _ENCODE_FN_CACHE[key] = fn
     return fn
@@ -156,6 +233,10 @@ class ModelBundle:
             from .whisper import WhisperModel
 
             return WhisperModel(config.whisper)
+        elif config.model_family == "joint":
+            from .joint import JointCTCAttentionModel
+
+            return JointCTCAttentionModel(config.joint)
         raise ValueError(f"unknown model family {config.model_family!r}")
 
     @classmethod
@@ -165,8 +246,20 @@ class ModelBundle:
         if config.model_family == "ctc":
             dummy = jnp.zeros((1, fe.num_mels, 256), jnp.float32)
             return model.init(jax.random.PRNGKey(seed), dummy)["params"]
-        dummy_mel = jnp.zeros((1, config.whisper.num_mels, 256), jnp.float32)
-        dummy_tok = jnp.zeros((1, 8), jnp.int32)
+        if config.model_family == "joint":
+            t = min(256, config.joint.max_frames)
+            s = min(8, config.joint.max_target_positions)
+            dummy = jnp.zeros((1, config.joint.num_mels, t), jnp.float32)
+            toks = jnp.zeros((1, s), jnp.int32)
+            return model.init(
+                jax.random.PRNGKey(seed), dummy, None, toks
+            )["params"]
+        # dummy sized inside the model's receptive-field limits (conv2 halves
+        # the frame count; small test configs shrink max_source_positions)
+        t = min(256, 2 * config.whisper.max_source_positions)
+        s = min(8, config.whisper.max_target_positions)
+        dummy_mel = jnp.zeros((1, config.whisper.num_mels, t), jnp.float32)
+        dummy_tok = jnp.zeros((1, s), jnp.int32)
         return model.init(jax.random.PRNGKey(seed), dummy_mel, dummy_tok)["params"]
 
     @classmethod
@@ -239,6 +332,17 @@ class ModelBundle:
                 self.params, feats
             )
             return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+        if self.config.model_family == "joint":
+            ids, lens = _joint_generate_fn_for(self.config, decode_cfg)(
+                self.params, feats, flens
+            )
+            return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
+        if decode_cfg.strategy in ("greedy", "ctc_greedy"):
+            # fast path: fused head+argmax, logits never touch HBM
+            ids, lens = _ctc_greedy_fn_for(self.config, decode_cfg.ctc_blank_id)(
+                self.params, feats, flens
+            )
+            return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
         log_probs, out_lens = self.encode(feats, flens)
         if decode_cfg.strategy == "beam":
             # host beam by default: identical semantics, no XLA compile cost
@@ -258,8 +362,6 @@ class ModelBundle:
             ids, lens = ctc_prefix_beam_search(
                 log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id
             )
-        elif decode_cfg.strategy == "greedy":
-            ids, lens = ctc_greedy_decode(log_probs, out_lens, decode_cfg.ctc_blank_id)
         else:
             raise ValueError(f"unknown ctc decode strategy {decode_cfg.strategy!r}")
         return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)

@@ -59,6 +59,7 @@ class CTCEncoderModel(nn.Module):
         features: jnp.ndarray,  # [B, num_mels, T] log-mel
         feature_lengths: Optional[jnp.ndarray] = None,  # [B] valid frames
         deterministic: bool = True,
+        head_mode: str = "log_probs",  # "log_probs" | "argmax_ids" (static)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -113,7 +114,14 @@ class CTCEncoderModel(nn.Module):
         # [B*T', d] x [d, V] head is the single largest matmul in the model
         # (V ~ 4.3k), and a full-f32 Dense runs at 1/4 MXU rate. Params stay
         # f32; tree layout matches nn.Dense(name="ctc_head").
-        head = CTCHead(cfg.vocab_size, dtype, name="ctc_head")
+        head = CTCHead(cfg.vocab_size, dtype, cfg.d_model, name="ctc_head")
+        if head_mode == "argmax_ids":
+            # greedy inference: log_softmax is monotonic, so the fused
+            # matmul+argmax kernel yields the same ids with no [B,T,V] HBM
+            # round-trips (ops/fused_head.py)
+            return head.argmax_ids(x), out_lengths
+        if head_mode != "log_probs":
+            raise ValueError(f"unknown head_mode {head_mode!r}")
         logits = head(x)
         # log-softmax in f32 (CTC loss numerics, SURVEY §7 hard-part 2)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -121,22 +129,38 @@ class CTCEncoderModel(nn.Module):
 
 
 class CTCHead(nn.Module):
-    """Dense head computing compute-dtype operands -> f32-accumulated logits."""
+    """Dense head computing compute-dtype operands -> f32-accumulated logits.
+
+    setup-based (not @nn.compact) so `argmax_ids` can reuse the same
+    kernel/bias params for the fused greedy-decode path; the param tree
+    layout ("kernel"/"bias") matches nn.Dense.
+    """
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    in_features: int = 512
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features),
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = jax.lax.dot_general(
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
+            self.kernel.astype(self.dtype),
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return y + bias
+        return y + self.bias
+
+    def argmax_ids(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused matmul+argmax (greedy decode): never materializes the
+        [B, T, V] logits in HBM (ops/fused_head.py)."""
+        from ..ops.fused_head import fused_head_argmax
+
+        return fused_head_argmax(x.astype(self.dtype), self.kernel, self.bias)

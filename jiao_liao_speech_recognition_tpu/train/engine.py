@@ -186,6 +186,46 @@ def make_train_step(loss_fn: Callable, tx) -> Callable:
 # ---------------------------------------------------------------------------
 
 
+def make_joint_loss_fn(config: ExperimentConfig, model) -> Callable:
+    """Hybrid loss for the joint CTC/attention family (SURVEY C8):
+    ctc_weight * CTC + (1 - ctc_weight) * CE over the attention decoder —
+    SpeechBrain's joint training objective, both branches off one encoder
+    pass. Batch carries both CTC labels and teacher-forcing tokens/targets
+    (batch_to_device builds the latter with sos/eos = blank id 0)."""
+    fe = config.frontend
+    w = config.joint.ctc_weight
+
+    def loss_fn(params, batch, rng, train: bool):
+        audio = batch["audio"]
+        k_aug, k_spec, k_drop = jax.random.split(rng, 3)
+        if train and config.augment.enabled:
+            audio = augment_waveform(k_aug, audio, config.augment)
+        feats = featurize_batch(audio, fe)
+        feat_lengths = batch["audio_lengths"] // fe.hop_length
+        if train and config.specaugment.enabled:
+            feats = spec_augment(k_spec, feats, config.specaugment)
+        ctc_lp, out_lens, dec_logits = model.apply(
+            {"params": params},
+            feats,
+            feat_lengths,
+            batch["tokens"],
+            deterministic=not train,
+            rngs={"dropout": k_drop} if train else {},
+        )
+        nll = ctc_loss(ctc_lp, out_lens, batch["labels"], batch["label_lengths"])
+        denom = jnp.maximum(batch["label_lengths"], 1).astype(jnp.float32)
+        loss_ctc = jnp.mean(nll / denom)
+        targets = batch["targets"]
+        valid = targets >= 0
+        tsafe = jnp.maximum(targets, 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(dec_logits, tsafe)
+        loss_att = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+        loss = w * loss_ctc + (1.0 - w) * loss_att
+        return loss, {"loss": loss, "loss_ctc": loss_ctc, "loss_att": loss_att}
+
+    return loss_fn
+
+
 def build_train_setup(config: ExperimentConfig, params, mesh=None):
     """(model, loss_fn, tx, jitted step with shardings)."""
     from ..models.bundle import ModelBundle
@@ -193,6 +233,8 @@ def build_train_setup(config: ExperimentConfig, params, mesh=None):
     model = ModelBundle._model(config)
     if config.model_family == "ctc":
         loss_fn = make_ctc_loss_fn(config, model)
+    elif config.model_family == "joint":
+        loss_fn = make_joint_loss_fn(config, model)
     else:
         loss_fn = make_whisper_loss_fn(config, model)
     mask = adapter_mask(params) if config.train.train_adapters_only else None
@@ -250,11 +292,17 @@ def batch_to_device(
         "labels": jnp.asarray(batch.labels),
         "label_lengths": jnp.asarray(batch.label_lengths),
     }
-    if family == "whisper":
+    if family in ("whisper", "joint"):
         from ..decode.whisper_generate import EOT, default_prompt
 
-        eot = EOT if eot_id is None else eot_id
-        prompt = list(whisper_prompt if whisper_prompt is not None else default_prompt())
+        if family == "joint":
+            # joint CTC/attention: sos/eos = the CTC blank (id 0), which
+            # never appears inside label sequences (models/joint.py)
+            eot = 0 if eot_id is None else eot_id
+            prompt = list(whisper_prompt if whisper_prompt is not None else (eot,))
+        else:
+            eot = EOT if eot_id is None else eot_id
+            prompt = list(whisper_prompt if whisper_prompt is not None else default_prompt())
         B, S = batch.labels.shape
         P = len(prompt)
         toks = np.full((B, P + S + 1), eot, np.int32)
@@ -283,6 +331,9 @@ def build_tokenizer_for(config: ExperimentConfig, manifest):
     tokenizer = CharTokenizer.build(manifest.texts())
     if config.model_family == "ctc":
         config.ctc_model.vocab_size = len(tokenizer)
+    elif config.model_family == "joint":
+        # one shared vocab for both heads; blank (0) doubles as sos/eos
+        config.joint.vocab_size = len(tokenizer)
     elif config.model_family == "whisper":
         # reserve ids past the char vocab for <sot>/<eot>
         n = len(tokenizer)

@@ -145,6 +145,34 @@ class WhisperConfig:
 
 
 @dataclass
+class JointModelConfig:
+    """Joint CTC/attention transformer (SURVEY C8: the SpeechBrain
+    TransformerASR recipe shape — conv-subsampled encoder with BOTH a CTC
+    head and an attention decoder, trained with the weighted hybrid loss
+    ctc_weight*CTC + (1-ctc_weight)*CE)."""
+
+    name: str = "joint_base"
+    vocab_size: int = 4336
+    d_model: int = 512
+    num_layers: int = 12
+    decoder_layers: int = 6
+    num_heads: int = 4
+    mlp_dim: int = 2048
+    conv_channels: int = 512
+    subsample_factor: int = 4
+    dropout: float = 0.1
+    num_mels: int = 80
+    max_frames: int = 3000
+    max_target_positions: int = 448
+    dtype: str = "bfloat16"
+    use_flash_attention: bool = True
+    remat: bool = False
+    # SpeechBrain's default hybrid weighting (ctc_weight 0.3)
+    ctc_weight: float = 0.3
+    adapter: AdapterConfig = field(default_factory=AdapterConfig)
+
+
+@dataclass
 class MeshConfig:
     """Device mesh / parallelism (SURVEY §2.3): DP for parity, FSDP-style
     param sharding + optional TP as TPU-native extensions."""
@@ -201,7 +229,10 @@ class TrainConfig:
 
 @dataclass
 class DecodeConfig:
-    strategy: str = "greedy"  # greedy | beam | beam_device
+    # greedy | beam | beam_device (+ ctc_greedy for the joint family's CTC
+    # branch; greedy/beam there decode the attention branch, beam with CTC
+    # joint rescoring — decode/joint_generate.py)
+    strategy: str = "greedy"
     beam_size: int = 8
     ctc_blank_id: int = 0
     max_decode_len: int = 224  # Whisper AR decode cap
@@ -227,12 +258,13 @@ class DialectStage:
 class ExperimentConfig:
     """Top-level config = one BASELINE.json scenario."""
 
-    model_family: str = "ctc"  # ctc | whisper
+    model_family: str = "ctc"  # ctc | whisper | joint
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     specaugment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
     ctc_model: CTCModelConfig = field(default_factory=CTCModelConfig)
     whisper: WhisperConfig = field(default_factory=WhisperConfig)
+    joint: JointModelConfig = field(default_factory=JointModelConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
