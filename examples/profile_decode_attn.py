@@ -16,9 +16,13 @@ query) so the marginal per-iteration time excludes dispatch latency.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def marginal(make_fn, args, lo=4, hi=20):

@@ -12,10 +12,13 @@ Writes a table to stdout; run AFTER bench.py so the XLA cache is warm.
 from __future__ import annotations
 
 import argparse
-import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, n_warm=2):

@@ -23,6 +23,13 @@ from ..utils.config import AdapterConfig
 from .adapters import AdapterSlot, WFDense
 
 
+def _on_tpu() -> bool:
+    """Gate for the TPU-only fused fast paths (patchable in tests: the
+    Pallas kernels themselves still pick interpret mode off the real
+    backend, so forcing this True on CPU exercises the fused paths)."""
+    return jax.default_backend() == "tpu"
+
+
 def sinusoidal_positions(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """Standard interleaved sin/cos table [length, dim] (Whisper layout:
     first half sin, second half cos)."""
@@ -206,19 +213,72 @@ class TransformerBlock(nn.Module):
                 name="cross_attn",
             )(enc, kv=enc, return_kv=True)
         ad = self.adapter or AdapterConfig()
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_ln")(x)
-        attn_out = MultiHeadAttention(
-            self.num_heads,
-            self.d_model,
-            self.dtype,
-            self.dropout,
-            self.adapter,
-            self.use_flash,
-            name="self_attn",
-        )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache, cache_index=cache_index)
-        if self_cache is not None:
-            attn_out, self_cache = attn_out
-        x = x + attn_out
+        fused_attn = False
+        if (
+            deterministic
+            and ad.kind != "wf"
+            and self_cache is None
+            and not self.is_initializing()
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and self.use_flash
+            and x.ndim == 3
+            and x.shape[1] >= 64  # decode steps (Tq=1) would pad to BLOCK_T
+            and (self.d_model // self.num_heads) % 128 == 0
+            # flash handles key-validity masks only; causal [.., T, T]
+            # masks (decoder self-attention) take the module path
+            and (
+                mask is None
+                or (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1)
+            )
+            and _on_tpu()
+        ):
+            # inference fast path: LayerNorm + q/k/v projections in one VMEM
+            # kernel (the LN output never hits HBM), straight into the
+            # head-packed flash kernel, out-projection with the residual add
+            # fused into its epilogue by XLA (ops/fused_mlp.py::fused_ln_qkv;
+            # parity with the module path in tests/test_fused_mlp.py).
+            # Params were created by the standard path during init.
+            from ..ops.fused_mlp import fused_ln_qkv, qkv_fits_vmem
+            from ..ops.flash_attention import flash_attention_packed
+
+            if qkv_fits_vmem(self.d_model, self.d_model):
+                p = self.variables["params"]
+                sa = p["self_attn"]
+                q, k, v = fused_ln_qkv(
+                    x,
+                    p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
+                    sa["q_proj"]["dense"]["kernel"], sa["q_proj"]["dense"]["bias"],
+                    sa["k_proj"]["dense"]["kernel"],
+                    sa["v_proj"]["dense"]["kernel"], sa["v_proj"]["dense"]["bias"],
+                )
+                try:
+                    attn = flash_attention_packed(q, k, v, self.num_heads, mask)
+                except NotImplementedError:
+                    attn = None
+                if attn is not None:
+                    wo = sa["out_proj"]["dense"]["kernel"].astype(self.dtype)
+                    bo = sa["out_proj"]["dense"]["bias"].astype(self.dtype)
+                    x = x + (
+                        jax.lax.dot_general(
+                            attn, wo, (((2,), (0,)), ((), ()))
+                        )
+                        + bo
+                    )
+                    fused_attn = True
+        if not fused_attn:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_ln")(x)
+            attn_out = MultiHeadAttention(
+                self.num_heads,
+                self.d_model,
+                self.dtype,
+                self.dropout,
+                self.adapter,
+                self.use_flash,
+                name="self_attn",
+            )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache, cache_index=cache_index)
+            if self_cache is not None:
+                attn_out, self_cache = attn_out
+            x = x + attn_out
         if ad.kind != "none" and ad.after_attention:
             if slot_caches is not None:
                 # KV-cached AttAdapter during incremental decode: the slot
@@ -246,10 +306,45 @@ class TransformerBlock(nn.Module):
             if cross_cache is not None:
                 cross_out, cross_cache = cross_out
             x = x + cross_out
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_ln")(x)
-        x = x + MLP(
-            self.d_model, self.mlp_dim, self.dtype, self.dropout, self.adapter, name="mlp"
-        )(h, deterministic=deterministic)
+        if (
+            deterministic
+            and ad.kind != "wf"
+            and not self.is_initializing()
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and x.ndim == 3
+            and x.shape[1] >= 64  # decode steps (Tq=1) would pad to BLOCK_T
+            and self.d_model % 128 == 0
+            and self.mlp_dim % 128 == 0
+            and _on_tpu()
+        ):
+            # inference fast path: the whole pre-LN MLP sublayer
+            # (LayerNorm -> fc1 -> GELU -> fc2 -> +residual) in one VMEM
+            # kernel — neither the LN output nor the [B, T, mlp_dim] hidden
+            # tensor touches HBM (ops/fused_mlp.py). Params were created by
+            # the standard path during init; read them from the bound scope.
+            from ..ops.fused_mlp import fused_ln_mlp_residual, mlp_fits_vmem
+
+            if mlp_fits_vmem(self.d_model, self.mlp_dim):
+                p = self.variables["params"]
+                x = fused_ln_mlp_residual(
+                    x,
+                    p["mlp_ln"]["scale"], p["mlp_ln"]["bias"],
+                    p["mlp"]["fc1"]["dense"]["kernel"],
+                    p["mlp"]["fc1"]["dense"]["bias"],
+                    p["mlp"]["fc2"]["dense"]["kernel"],
+                    p["mlp"]["fc2"]["dense"]["bias"],
+                )
+            else:
+                h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_ln")(x)
+                x = x + MLP(
+                    self.d_model, self.mlp_dim, self.dtype, self.dropout,
+                    self.adapter, name="mlp",
+                )(h, deterministic=deterministic)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_ln")(x)
+            x = x + MLP(
+                self.d_model, self.mlp_dim, self.dtype, self.dropout, self.adapter, name="mlp"
+            )(h, deterministic=deterministic)
         if ad.kind != "none" and ad.after_mlp:
             if slot_caches is not None:
                 x, c = AdapterSlot(ad, self.dtype, name="post_mlp_slot")(

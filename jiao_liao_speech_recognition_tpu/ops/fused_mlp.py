@@ -1,0 +1,323 @@
+"""Fused transformer-sublayer Pallas kernels (inference fast paths).
+
+Two kernels, both tiling over (batch, time) with grid-resident weights
+(constant BlockSpec index maps), used by models/layers.py::TransformerBlock:
+
+* ``fused_ln_mlp_residual`` — y = x + fc2(gelu(fc1(LayerNorm(x)))): neither
+  the LayerNorm output nor the [B, T, mlp_dim] hidden tensor (~200 MB bf16
+  per flagship block at B=128 x 30 s) touches HBM; per sublayer the traffic
+  drops to one read of x and one write of y. Measured 1.22x on the full
+  flagship encoder (docs/PERFORMANCE.md).
+* ``fused_ln_qkv`` — (q, k, v) = LayerNorm(x) @ (Wq, Wk, Wv) + biases, as
+  three separate contiguous outputs feeding the head-packed flash kernel.
+  (A packed [B, T, 3D] single-output variant measured SLOWER — the flash
+  kernel's K/V block reads stride badly over the 3x-wide array — so the
+  outputs stay separate.)
+
+Numerics mirror the flax modules they replace (models/layers.py): f32
+LayerNorm statistics, bf16 operands, f32 MXU accumulation rounded to bf16
+before the bias add, tanh-form GELU evaluated in f32 (<3.1e-3 abs from the
+exact erf form — Mosaic TC can't lower erf/erfc).
+
+TPU-native replacement for the reference's fused CUDA epilogues
+(torch 2.1 inductor fusions, /root/reference/requirements.txt:75).
+
+Training never routes here (the fast paths are gated on deterministic
+inference in models/layers.py), but custom_vjps with the reference XLA
+backward keep gradients correct if a caller differentiates through them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+BLOCK_T = 256
+# weights + hidden tile + double-buffered x/y tiles must fit in ~16 MB VMEM
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def mlp_fits_vmem(d: int, mlp: int) -> bool:
+    tile = (
+        2 * (d * mlp + mlp * d)          # resident bf16 weights
+        + 4 * BLOCK_T * mlp              # f32 hidden tile
+        + 2 * 2 * 2 * BLOCK_T * d        # double-buffered bf16 x/y tiles
+    )
+    return tile <= _VMEM_BUDGET_BYTES
+
+
+def _mlp_reference(x, w1, b1, w2, b2):
+    """XLA twin (same numerics contract) — backward path + fallback."""
+    dt = x.dtype
+    h = jax.lax.dot_general(
+        x, w1.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b1.astype(dt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    return jax.lax.dot_general(
+        h, w2.astype(dt), (((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b2.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# LN + MLP + residual: y = x + fc2(gelu(fc1(LayerNorm(x))))
+#
+# XLA materializes the LayerNorm output in HBM (the reduction blocks fusion
+# into the fc1 matmul prologue), costing two extra full-tensor passes per
+# block plus the residual's re-read of x. Fusing the whole pre-LN MLP
+# sublayer reads x once and writes y once.
+# ---------------------------------------------------------------------------
+
+
+def _ln_mlp_res_kernel(
+    x_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps
+):
+    """One (batch, time-block) program of y = x + MLP(LN(x)).
+
+    x_ref: [1, BLOCK_T, d] bf16; g/bl: [1, d] f32 (LayerNorm scale/bias);
+    w/b as in _mlp_kernel; out_ref: [1, BLOCK_T, d] bf16.
+    """
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (xc * jax.lax.rsqrt(var + eps)) * g_ref[0] + bl_ref[0]
+    h = jax.lax.dot_general(
+        ln.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b1_ref[0]
+    hf = h.astype(jnp.float32)
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    h = (
+        0.5 * hf * (1.0 + jnp.tanh(c * (hf + np.float32(0.044715) * hf * hf * hf)))
+    ).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b2_ref[0]
+    out_ref[0] = x + y
+
+
+def _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps):
+    """XLA twin with flax nn.LayerNorm numerics (f32 stats, bf16 output)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = ((xc * jax.lax.rsqrt(var + eps)) * g + bl).astype(x.dtype)
+    return x + _mlp_reference(ln, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_mlp_residual(x, g, bl, w1, b1, w2, b2, eps=1e-5):
+    """y = x + fc2(gelu(fc1(LayerNorm(x)))) — the whole pre-LN MLP sublayer
+    of TransformerBlock in one VMEM-resident kernel. x bf16 [B, T, d];
+    g/bl f32 [d] LayerNorm params; weights f32 (cast to bf16 like nn.Dense)."""
+    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps):
+    B, T, d = x.shape
+    mlp = w1.shape[1]
+    if not mlp_fits_vmem(d, mlp):
+        return _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps)
+    t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
+    interpret = jax.default_backend() != "tpu"
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0))) if t_pad != T else x
+    xp = xp.astype(jnp.bfloat16)
+    gf = g.astype(jnp.float32)[None, :]
+    blf = bl.astype(jnp.float32)[None, :]
+    w1b = w1.astype(jnp.bfloat16)
+    w2b = w2.astype(jnp.bfloat16)
+    b1b = b1.astype(jnp.bfloat16)[None, :]
+    b2b = b2.astype(jnp.bfloat16)[None, :]
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_res_kernel, eps=np.float32(eps)),
+        grid=(B, t_pad // BLOCK_T),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_T, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((d, mlp), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, mlp), lambda b, i: (0, 0)),
+            pl.BlockSpec((mlp, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_T, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, d), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * t_pad * d * mlp,
+            bytes_accessed=2 * (2 * B * t_pad * d + 2 * d * mlp),
+            transcendentals=B * t_pad * mlp,
+        ),
+        interpret=interpret,
+    )(xp, gf, blf, w1b, b1b, w2b, b2b)
+    return out[:, :T, :].astype(x.dtype)
+
+
+def _flnm_fwd(x, g, bl, w1, b1, w2, b2, eps):
+    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps), (
+        x, g, bl, w1, b1, w2, b2,
+    )
+
+
+def _flnm_bwd(eps, res, gout):
+    x, g, bl, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_mlp_reference(*a, eps), x, g, bl, w1, b1, w2, b2
+    )
+    return vjp(gout)
+
+
+fused_ln_mlp_residual.defvjp(_flnm_fwd, _flnm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LN + QKV projections: (q, k, v) = LN(x) @ (Wq, Wk, Wv) + biases
+#
+# Same motivation as the MLP sublayer: XLA materializes the LayerNorm output
+# in HBM before the projection matmuls can read it. One kernel normalizes
+# each [BLOCK_T, d] tile in VMEM and feeds all three resident projection
+# weights, writing three separate contiguous outputs (contiguity matters:
+# the flash kernel's K/V block reads stride badly over a packed [.., 3D]
+# array — measured slower — so q/k/v stay separate arrays).
+# Bias convention is Whisper's (models/layers.py): q and v biased, k not.
+# ---------------------------------------------------------------------------
+
+
+def _ln_qkv_kernel(
+    x_ref, g_ref, bl_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
+    q_ref, k_ref, v_ref, *, eps
+):
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = ((xc * jax.lax.rsqrt(var + eps)) * g_ref[0] + bl_ref[0]).astype(x.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    q_ref[0] = jax.lax.dot_general(
+        ln, wq_ref[...], dims, preferred_element_type=jnp.float32
+    ).astype(x.dtype) + bq_ref[0]
+    k_ref[0] = jax.lax.dot_general(
+        ln, wk_ref[...], dims, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    v_ref[0] = jax.lax.dot_general(
+        ln, wv_ref[...], dims, preferred_element_type=jnp.float32
+    ).astype(x.dtype) + bv_ref[0]
+
+
+def _ln_qkv_reference(x, g, bl, wq, bq, wk, wv, bv, eps):
+    """XLA twin with flax LayerNorm + nn.Dense(dtype=bf16) numerics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = ((xc * jax.lax.rsqrt(var + eps)) * g + bl).astype(x.dtype)
+    dt = x.dtype
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    q = jax.lax.dot_general(
+        ln, wq.astype(dt), dims, preferred_element_type=jnp.float32
+    ).astype(dt) + bq.astype(dt)
+    k = jax.lax.dot_general(
+        ln, wk.astype(dt), dims, preferred_element_type=jnp.float32
+    ).astype(dt)
+    v = jax.lax.dot_general(
+        ln, wv.astype(dt), dims, preferred_element_type=jnp.float32
+    ).astype(dt) + bv.astype(dt)
+    return q, k, v
+
+
+def qkv_fits_vmem(d: int, out: int) -> bool:
+    tile = (
+        2 * 3 * d * out                    # resident bf16 Wq/Wk/Wv
+        + 4 * BLOCK_T * d                  # f32 LN tile
+        + 2 * 2 * 4 * BLOCK_T * out        # double-buffered bf16 q/k/v/x tiles
+    )
+    return tile <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_ln_qkv(x, g, bl, wq, bq, wk, wv, bv, eps=1e-5):
+    """(q, k, v) = projections of LayerNorm(x) in one VMEM kernel — the LN
+    output never touches HBM. x bf16 [B, T, d]; g/bl f32 LayerNorm params;
+    weights f32 [d, D] (cast to bf16 like nn.Dense); k is unbiased
+    (Whisper convention, models/layers.py)."""
+    return _fused_ln_qkv_fwd_impl(x, g, bl, wq, bq, wk, wv, bv, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _fused_ln_qkv_fwd_impl(x, g, bl, wq, bq, wk, wv, bv, eps):
+    B, T, d = x.shape
+    D = wq.shape[1]
+    if not qkv_fits_vmem(d, D):
+        return _ln_qkv_reference(x, g, bl, wq, bq, wk, wv, bv, eps)
+    t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
+    interpret = jax.default_backend() != "tpu"
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0))) if t_pad != T else x
+    xp = xp.astype(jnp.bfloat16)
+    shp = jax.ShapeDtypeStruct((B, t_pad, D), jnp.bfloat16)
+    q, k, v = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=np.float32(eps)),
+        grid=(B, t_pad // BLOCK_T),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_T, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i: (0, 0)),
+            pl.BlockSpec((d, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((d, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((d, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_T, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_T, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, BLOCK_T, D), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[shp, shp, shp],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * t_pad * d * D,
+            bytes_accessed=2 * (4 * B * t_pad * d + 3 * d * D),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        g.astype(jnp.float32)[None, :],
+        bl.astype(jnp.float32)[None, :],
+        wq.astype(jnp.bfloat16),
+        bq.astype(jnp.bfloat16)[None, :],
+        wk.astype(jnp.bfloat16),
+        wv.astype(jnp.bfloat16),
+        bv.astype(jnp.bfloat16)[None, :],
+    )
+    if t_pad != T:
+        q, k, v = q[:, :T, :], k[:, :T, :], v[:, :T, :]
+    return q, k, v
+
+
+def _flq_fwd(x, g, bl, wq, bq, wk, wv, bv, eps):
+    return _fused_ln_qkv_fwd_impl(x, g, bl, wq, bq, wk, wv, bv, eps), (
+        x, g, bl, wq, bq, wk, wv, bv,
+    )
+
+
+def _flq_bwd(eps, res, gout):
+    x, g, bl, wq, bq, wk, wv, bv = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_qkv_reference(*a, eps), x, g, bl, wq, bq, wk, wv, bv
+    )
+    return vjp(gout)
+
+
+fused_ln_qkv.defvjp(_flq_fwd, _flq_bwd)
+
+

@@ -61,6 +61,8 @@ def run_stages(config: ExperimentConfig, params=None, tokenizer=None, resume: bo
         tokenizer = CharTokenizer.build(texts)
     if config.model_family == "ctc":
         config.ctc_model.vocab_size = len(tokenizer)
+    elif config.model_family == "joint":
+        config.joint.vocab_size = len(tokenizer)
     if params is None:
         params = ModelBundle._init_params(config, seed=config.train.seed)
 
