@@ -232,18 +232,42 @@ class TransformerBlock(nn.Module):
             )
             and _on_tpu()
         ):
-            # inference fast path: LayerNorm + q/k/v projections in one VMEM
-            # kernel (the LN output never hits HBM), straight into the
-            # head-packed flash kernel, out-projection with the residual add
-            # fused into its epilogue by XLA (ops/fused_mlp.py::fused_ln_qkv;
-            # parity with the module path in tests/test_fused_mlp.py).
-            # Params were created by the standard path during init.
+            # inference fast paths (ops/fused_attention.py, ops/fused_mlp.py;
+            # parity with the module path in tests/test_fused_mlp.py /
+            # tests/test_fused_attention.py). Params were created by the
+            # standard path during init; read them from the bound scope.
+            from ..ops.fused_attention import (
+                attn_sublayer_fits_vmem,
+                fused_attention_sublayer,
+            )
             from ..ops.fused_mlp import fused_ln_qkv, qkv_fits_vmem
             from ..ops.flash_attention import flash_attention_packed
 
-            if qkv_fits_vmem(self.d_model, self.d_model):
-                p = self.variables["params"]
-                sa = p["self_attn"]
+            p = self.variables["params"]
+            sa = p["self_attn"]
+            if mask is None:
+                kv_lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            else:
+                m = jnp.broadcast_to(mask, (x.shape[0], 1, 1, x.shape[1]))
+                kv_lens = jnp.sum(m[:, 0, 0, :].astype(jnp.int32), axis=-1)
+            if attn_sublayer_fits_vmem(self.d_model, self.d_model, x.shape[1]):
+                # whole sublayer (LN -> q/k/v -> per-head softmax*V -> out
+                # projection -> residual) in two VMEM kernels: only k/v are
+                # materialized in HBM (every query tile needs all keys)
+                x = fused_attention_sublayer(
+                    x,
+                    p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
+                    sa["q_proj"]["dense"]["kernel"], sa["q_proj"]["dense"]["bias"],
+                    sa["k_proj"]["dense"]["kernel"],
+                    sa["v_proj"]["dense"]["kernel"], sa["v_proj"]["dense"]["bias"],
+                    sa["out_proj"]["dense"]["kernel"], sa["out_proj"]["dense"]["bias"],
+                    kv_lens, self.num_heads,
+                )
+                fused_attn = True
+            elif qkv_fits_vmem(self.d_model, self.d_model):
+                # long-context fallback: fused LN+QKV kernel into the
+                # head-packed flash kernel (online softmax), out-projection
+                # with the residual fused into its epilogue by XLA
                 q, k, v = fused_ln_qkv(
                     x,
                     p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
@@ -252,7 +276,9 @@ class TransformerBlock(nn.Module):
                     sa["v_proj"]["dense"]["kernel"], sa["v_proj"]["dense"]["bias"],
                 )
                 try:
-                    attn = flash_attention_packed(q, k, v, self.num_heads, mask)
+                    attn = flash_attention_packed(
+                        q, k, v, self.num_heads, kv_lengths=kv_lens
+                    )
                 except NotImplementedError:
                     attn = None
                 if attn is not None:
