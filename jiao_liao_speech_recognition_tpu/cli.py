@@ -171,6 +171,20 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_import_whisper(args) -> int:
+    from .models.whisper_import import import_hf_checkpoint
+
+    bundle = import_hf_checkpoint(args.src, args.out)
+    w = bundle.config.whisper
+    print(json.dumps({
+        "out": args.out, "name": w.name, "d_model": w.d_model,
+        "layers": [w.encoder_layers, w.decoder_layers],
+        "num_mels": w.num_mels, "vocab_size": w.vocab_size,
+        "tokenizer": type(bundle.tokenizer).__name__ if bundle.tokenizer else None,
+    }))
+    return 0
+
+
 def cmd_build_native(args) -> int:
     from .utils.native_ext import build_native
 
@@ -217,6 +231,14 @@ def main(argv=None) -> int:
     pl.add_argument("--order", type=int, default=3)
     pl.add_argument("--checkpoint", help="take the tokenizer from this bundle")
     pl.set_defaults(fn=cmd_train_lm)
+
+    pi = sub.add_parser(
+        "import-whisper",
+        help="HF Whisper checkpoint dir (safetensors) -> bundle checkpoint",
+    )
+    pi.add_argument("src", help="HF dir: model.safetensors + config.json [+ tokenizer]")
+    pi.add_argument("--out", required=True, help="bundle checkpoint dir to write")
+    pi.set_defaults(fn=cmd_import_whisper)
 
     pf = sub.add_parser("featurize", help="audio -> log-mel .npy")
     pf.add_argument("audio")

@@ -177,6 +177,79 @@ def load_hf_generation_constraints(path: str | Path) -> Dict[str, tuple]:
     return out
 
 
+def whisper_config_from_hf(path: str | Path):
+    """Build a WhisperConfig from an HF checkpoint directory's config.json
+    (+ generation_config.json decode constraints when present), so
+    `import-whisper` needs no preset guessing: every shape field comes from
+    the checkpoint itself."""
+    from ..utils.config import WhisperConfig
+
+    p = Path(path)
+    data = json.loads((p / "config.json").read_text(encoding="utf-8"))
+    heads = data.get("encoder_attention_heads", 6)
+    if data.get("decoder_attention_heads", heads) != heads:
+        raise ValueError("asymmetric encoder/decoder head counts unsupported")
+    ffn = data.get("encoder_ffn_dim", 4 * data.get("d_model", 384))
+    if data.get("decoder_ffn_dim", ffn) != ffn:
+        raise ValueError("asymmetric encoder/decoder ffn dims unsupported")
+    gc = load_hf_generation_constraints(p)
+    return WhisperConfig(
+        name=Path(data.get("_name_or_path", "") or "whisper_imported").name
+        or "whisper_imported",
+        vocab_size=data.get("vocab_size", 51865),
+        num_mels=data.get("num_mel_bins", 80),
+        d_model=data.get("d_model", 384),
+        encoder_layers=data.get("encoder_layers", 4),
+        decoder_layers=data.get("decoder_layers", 4),
+        num_heads=heads,
+        mlp_dim=ffn,
+        max_source_positions=data.get("max_source_positions", 1500),
+        max_target_positions=data.get("max_target_positions", 448),
+        suppress_ids=gc["suppress_ids"],
+        begin_suppress_ids=gc["begin_suppress_ids"],
+    )
+
+
+def import_hf_checkpoint(src: str | Path, out: str | Path) -> "Any":
+    """HF Whisper checkpoint directory -> a ModelBundle checkpoint directory
+    loadable by `load(checkpoint=out)` / `transcribe --checkpoint out`.
+
+    Copies the HF BPE tokenizer files (vocab.json/merges.txt/
+    added_tokens.json/tokenizer.json) alongside so the bundle loads the
+    byte-level BPE tokenizer (data/bpe.py) instead of a char vocab.
+    Returns the saved ModelBundle."""
+    import shutil
+
+    from ..utils.config import ExperimentConfig, FrontendConfig
+    from .bundle import ModelBundle
+
+    src = Path(src)
+    wcfg = whisper_config_from_hf(src)
+    config = ExperimentConfig(
+        model_family="whisper",
+        whisper=wcfg,
+        frontend=FrontendConfig(num_mels=wcfg.num_mels),
+    )
+    params = load_hf_whisper(src, wcfg)
+    tokenizer = None
+    if (src / "vocab.json").exists() and (src / "merges.txt").exists():
+        from ..data.bpe import ByteLevelBPE
+
+        tokenizer = ByteLevelBPE.from_hf_dir(src)
+    bundle = ModelBundle(config=config, params=params, tokenizer=tokenizer)
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    from ..train.checkpoints import save_params
+    from ..utils.config import save_yaml
+
+    save_yaml(config, str(out / "config.yaml"))
+    save_params(str(out), params)
+    for name in ("vocab.json", "merges.txt", "added_tokens.json", "tokenizer.json"):
+        if (src / name).exists():
+            shutil.copy(src / name, out / name)
+    return bundle
+
+
 def load_hf_whisper(path: str | Path, cfg) -> Dict:
     """Load an HF Whisper checkpoint directory or .safetensors file into a
     Flax param tree matching models.whisper.WhisperModel."""

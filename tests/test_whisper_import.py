@@ -233,3 +233,38 @@ def test_load_hf_generation_constraints(tmp_path):
     )
     got = load_hf_generation_constraints(d)
     assert got == {"suppress_ids": (5, 6), "begin_suppress_ids": (7,)}
+
+
+def test_import_hf_checkpoint_cli_roundtrip(hf_whisper, tmp_path):
+    """import-whisper builds a loadable bundle dir from an HF checkpoint:
+    config fields come from config.json, params match a direct import."""
+    import jax
+    import numpy as np
+
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+        import_hf_checkpoint,
+        whisper_config_from_hf,
+    )
+
+    _, hf_cfg, ckpt_dir = hf_whisper
+    wcfg = whisper_config_from_hf(ckpt_dir)
+    assert wcfg.d_model == hf_cfg.d_model
+    assert wcfg.encoder_layers == hf_cfg.encoder_layers
+    assert wcfg.num_heads == hf_cfg.encoder_attention_heads
+    assert wcfg.mlp_dim == hf_cfg.encoder_ffn_dim
+    assert wcfg.vocab_size == hf_cfg.vocab_size
+    assert wcfg.max_target_positions == hf_cfg.max_target_positions
+
+    out = tmp_path / "bundle"
+    bundle = import_hf_checkpoint(ckpt_dir, out)
+    assert (out / "config.yaml").exists()
+
+    loaded = ModelBundle.load(checkpoint=str(out))
+    assert loaded.config.model_family == "whisper"
+    assert loaded.config.whisper.d_model == hf_cfg.d_model
+    flat_a = jax.tree_util.tree_leaves(bundle.params)
+    flat_b = jax.tree_util.tree_leaves(loaded.params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
