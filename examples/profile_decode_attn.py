@@ -29,11 +29,11 @@ def marginal(make_fn, args, lo=4, hi=20):
     import jax
 
     def timed(fn):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        # hard host sync via data fetch each call: block_until_ready alone
+        # under-measures repeat dispatches through the axon relay
+        _ = np.asarray(fn(*args)).sum()
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _ = np.asarray(fn(*args)).sum()
         return time.perf_counter() - t0
 
     f_lo, f_hi = make_fn(lo), make_fn(hi)
@@ -84,10 +84,13 @@ def main():
         o = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
         return o.transpose(0, 2, 1, 3).reshape(B, 1, D).astype(q.dtype)
 
-    def chain(fn, k, v):
+    def chain(fn):
+        # k/v go in as ARGUMENTS, not jit closure constants: embedded
+        # constants are serialized into the remote-compile request and blow
+        # the relay's size limit at B >= 16 (HTTP 413)
         def mk(n):
             @jax.jit
-            def f(q):
+            def f(q, k, v):
                 def body(i, q):
                     return q * 0.5 + fn(q, k, v)
                 return jax.lax.fori_loop(0, n, body, q)
@@ -99,7 +102,7 @@ def main():
         ("headmajor [B,H,T,dh]", attn_headmajor, k_hm, v_hm, bytes_per_iter),
         ("headmajor f32", attn_headmajor, k_hm.astype(jnp.float32), v_hm.astype(jnp.float32), bytes_per_iter * 2),
     ]:
-        t = marginal(chain(fn, kk, vv), (q,))
+        t = marginal(chain(fn), (q, kk, vv))
         gbps = nbytes / t / 1e9
         print(f"{name:24s} {t*1e3:8.3f} ms/layer-step   ~{gbps:6.0f} GB/s effective")
         print(f"  -> x64 K+V reads/step (32 layers): {t*32*1e3:.1f} ms/token-step")

@@ -177,13 +177,28 @@ class JointCTCAttentionModel(nn.Module):
         t_cache = cfg.max_target_positions
         if max_len is not None:
             t_cache = min(max_len, t_cache)
+        H = cfg.num_heads
+        dh = cfg.d_model // H
+        # batch-conditional layout (see WhisperDecoder.init_cache): head-
+        # major [B, H, T, dh] at batch >= 16, packed [B, T, d] below
+        from . import layers as _layers  # late lookup: patchable in tests
+        head_major = batch >= _layers.HEAD_MAJOR_MIN_BATCH
         caches = {}
         for i, blk in enumerate(self.dec_blocks):
             cross = blk(None, enc=enc, precompute_cross=True)
+            if head_major:
+                t_enc = cross["k"].shape[1]
+                cross = {
+                    n: a.reshape(batch, t_enc, H, dh).transpose(0, 2, 1, 3)
+                    for n, a in cross.items()
+                }
+                self_shape = (batch, H, t_cache, dh)
+            else:
+                self_shape = (batch, t_cache, cfg.d_model)
             entry = {
                 "self": {
-                    "k": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
-                    "v": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
+                    "k": jnp.zeros(self_shape, dtype),
+                    "v": jnp.zeros(self_shape, dtype),
                 },
                 "cross": cross,
             }
@@ -212,7 +227,7 @@ class JointCTCAttentionModel(nn.Module):
         x = self.embed_tokens(token)
         pos_table = sinusoidal_positions(cfg.max_target_positions, cfg.d_model, dtype)
         x = x + jax.lax.dynamic_slice(pos_table, (pos, 0), (1, cfg.d_model))[None]
-        t_cache = caches["dec_block_0"]["self"]["k"].shape[1]
+        t_cache = caches["dec_block_0"]["self"]["k"].shape[-2]
         kmask = jnp.arange(t_cache)[None, None, None, :] <= pos
         enc_mask = (
             length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None

@@ -23,6 +23,12 @@ from ..utils.config import AdapterConfig
 from .adapters import AdapterSlot, WFDense
 
 
+# decode KV-cache layout switch (models/whisper.py / models/joint.py
+# init_cache): head-major [B, H, T, dh] at batch >= this, packed [B, T, d]
+# below (measured crossover, docs/PERFORMANCE.md)
+HEAD_MAJOR_MIN_BATCH = 16
+
+
 def _on_tpu() -> bool:
     """Gate for the TPU-only fused fast paths (patchable in tests: the
     Pallas kernels themselves still pick interpret mode off the real
@@ -102,6 +108,46 @@ class MultiHeadAttention(nn.Module):
         dh = self.d_model // self.num_heads
         kv_in = x if kv is None else kv
         wf = self.adapter if (self.adapter and self.adapter.kind == "wf") else None
+        if kv_cache is not None and kv_cache["k"].ndim == 4:
+            # head-major decode cache [B, H, T_cache, dh]: XLA's batched
+            # attention over the packed [B, T, H*dh] layout collapses to
+            # ~180 GB/s effective at batch >= 16 (a per-step physical
+            # relayout of the whole cache); the head-major formulation
+            # streams K/V at memory speed (docs/PERFORMANCE.md).
+            q = WFDense(self.d_model, wf, self.dtype, name="q_proj")(x)
+            B, Tq = q.shape[0], q.shape[1]
+            qh = q.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
+            if kv_cache is not None and kv is not None:
+                # cross-attention: reuse the precomputed encoder K/V
+                k4, v4 = kv_cache["k"], kv_cache["v"]
+                new_cache = kv_cache
+            else:
+                k = WFDense(self.d_model, wf, self.dtype, use_bias=False, name="k_proj")(kv_in)
+                v = WFDense(self.d_model, wf, self.dtype, name="v_proj")(kv_in)
+                kh = k.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
+                vh = v.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
+                k4 = jax.lax.dynamic_update_slice(
+                    kv_cache["k"], kh.astype(kv_cache["k"].dtype), (0, 0, cache_index, 0)
+                )
+                v4 = jax.lax.dynamic_update_slice(
+                    kv_cache["v"], vh.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
+                )
+                new_cache = {"k": k4, "v": v4}
+            scale = 1.0 / np.sqrt(dh)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
+            ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            o = jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            out = o.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+            out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            return out, new_cache
         if return_kv:
             # cache-precompute mode: just the K/V projections of `kv_in`
             k = WFDense(self.d_model, wf, self.dtype, use_bias=False, name="k_proj")(kv_in)

@@ -7,9 +7,12 @@ decoder = learned positions, causal self-attn + cross-attn blocks; logits
 tied to the token embedding). Weight import from HF safetensors lives in
 whisper_import.py; adapters inject exactly as in the CTC backbone.
 
-TPU design: bf16 compute, KV caches laid out [B, T_max, d_model] and updated
-with dynamic_update_slice inside a lax.while_loop decode (no per-step host
-sync — SURVEY §7 hard-part 5).
+TPU design: bf16 compute, KV caches updated with dynamic_update_slice
+inside a lax.while_loop decode (no per-step host sync — SURVEY §7
+hard-part 5); cache layout is batch-conditional (init_cache): packed
+[B, T_max, d_model] at small batch, head-major [B, H, T_max, dh] at
+batch >= layers.HEAD_MAJOR_MIN_BATCH where the packed layout's per-step
+relayout costs ~3x decode throughput.
 """
 
 from __future__ import annotations
@@ -114,19 +117,40 @@ class WhisperDecoder(nn.Module):
         T_cache = min(max_len, max_target_positions): the self caches are
         re-read end to end EVERY decode step, so sizing them to the actual
         decode horizon instead of the 448-position ceiling cuts real HBM
-        traffic (decode_step derives its key mask from the cache shape)."""
+        traffic (decode_step derives its key mask from the cache shape).
+
+        Backbone cache layout is batch-conditional (MultiHeadAttention
+        dispatches on cache ndim): HEAD-MAJOR [B, H, T, dh] at batch >= 16,
+        where XLA's batched attention over the packed [B, T, d] layout
+        physically relayouts the whole cache every step (~3x decode
+        slowdown; the one-time transpose of the cross K/V here is noise by
+        comparison), and packed [B, T, d] below that, where the head-major
+        einsums measure ~25% slower (docs/PERFORMANCE.md)."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         t_cache = cfg.max_target_positions
         if max_len is not None:
             t_cache = min(max_len, t_cache)
+        H = cfg.num_heads
+        dh = cfg.d_model // H
+        from . import layers as _layers  # late lookup: patchable in tests
+        head_major = batch >= _layers.HEAD_MAJOR_MIN_BATCH
         caches = {}
         for i, blk in enumerate(self.blocks):
             cross = blk(None, enc=enc, precompute_cross=True)
+            if head_major:
+                t_enc = cross["k"].shape[1]
+                cross = {
+                    n: a.reshape(batch, t_enc, H, dh).transpose(0, 2, 1, 3)
+                    for n, a in cross.items()
+                }
+                self_shape = (batch, H, t_cache, dh)
+            else:
+                self_shape = (batch, t_cache, cfg.d_model)
             entry = {
                 "self": {
-                    "k": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
-                    "v": jnp.zeros((batch, t_cache, cfg.d_model), dtype),
+                    "k": jnp.zeros(self_shape, dtype),
+                    "v": jnp.zeros(self_shape, dtype),
                 },
                 "cross": cross,
             }
@@ -159,7 +183,7 @@ class WhisperDecoder(nn.Module):
             self.embed_positions, (pos, 0), (1, cfg.d_model)
         ).astype(dtype)[None]
         # mask: keys 0..pos valid, over the actual cache horizon
-        t_cache = caches["block_0"]["self"]["k"].shape[1]
+        t_cache = caches["block_0"]["self"]["k"].shape[-2]
         kmask = jnp.arange(t_cache)[None, None, None, :] <= pos
         enc_mask = (
             length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None

@@ -162,3 +162,24 @@ def test_generate_strategy_matrix(model_and_params, rng):
     assert (np.asarray(g_b) == np.asarray(g_bd)).all()
     with pytest.raises(ValueError, match="unknown whisper decode"):
         generate(bundle, mel, DecodeConfig(strategy="banana"))
+
+
+def test_head_major_cache_layout_matches_packed(model_and_params, rng, monkeypatch):
+    """Decode with head-major [B,H,T,dh] caches (batch >= the layout
+    threshold) produces identical tokens to the packed [B,T,d] layout."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    model, params = model_and_params
+    B, max_len = 4, 12
+    mel = jnp.asarray(rng.randn(B, 80, 60).astype(np.float32) * 0.3)
+
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1 << 30)  # force packed
+    gen_p, len_p = greedy_generate(
+        model, params, mel, max_len=max_len, prompt=PROMPT, eot_id=EOT
+    )
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1)  # force head-major
+    gen_h, len_h = greedy_generate(
+        model, params, mel, max_len=max_len, prompt=PROMPT, eot_id=EOT
+    )
+    np.testing.assert_array_equal(np.asarray(len_p), np.asarray(len_h))
+    np.testing.assert_array_equal(np.asarray(gen_p), np.asarray(gen_h))
