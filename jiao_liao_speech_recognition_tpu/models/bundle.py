@@ -189,6 +189,39 @@ class ModelBundle:
     params: Any
     tokenizer: Any
     _jitted_encode: Any = field(default=None, repr=False)
+    mesh: Any = field(default=None, repr=False)
+
+    # -------------------------------------------------------------- sharding
+    def shard(self, mesh=None) -> "ModelBundle":
+        """Shard params for multi-chip INFERENCE: Megatron-style TP over
+        'model' (parallel/tp_rules.py) layered on FSDP over 'fsdp', from
+        config.mesh. Subsequent encode/transcribe calls shard input batches
+        over 'data' and XLA propagates the shardings through the jitted
+        programs (the serving-scale path for whisper-large-v3,
+        BASELINE configs[4]; tested on the virtual CPU-8 mesh in
+        tests/test_tp.py)."""
+        from ..parallel.mesh import build_mesh
+        from ..parallel.tp_rules import fsdp_tp_sharding
+
+        if mesh is None:
+            mesh = build_mesh(self.config.mesh)
+        sh = fsdp_tp_sharding(mesh, self.params)
+        object.__setattr__(
+            self,
+            "params",
+            jax.tree_util.tree_map(lambda p, s: jax.device_put(p, s), self.params, sh),
+        )
+        object.__setattr__(self, "mesh", mesh)
+        return self
+
+    def _shard_inputs(self, *arrays):
+        """Shard leading (batch) axes over the mesh data axes (ragged
+        batches replicate — see parallel.mesh.shard_batch)."""
+        if self.mesh is None:
+            return arrays
+        from ..parallel.mesh import shard_batch
+
+        return tuple(shard_batch(self.mesh, a) for a in arrays)
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -221,7 +254,14 @@ class ModelBundle:
             params = cls._init_params(config)
         if tokenizer is None:
             tokenizer = CharTokenizer([])  # blank+unk only; tests override
-        return cls(config=config, params=params, tokenizer=tokenizer)
+        bundle = cls(config=config, params=params, tokenizer=tokenizer)
+        m = config.mesh
+        if (m.fsdp_axis > 1 or m.model_axis > 1) and (
+            len(jax.devices()) >= m.fsdp_axis * m.model_axis
+        ):
+            # explicit multi-chip request in the config: shard for inference
+            bundle.shard()
+        return bundle
 
     @staticmethod
     def _model(config: ExperimentConfig):
@@ -325,8 +365,10 @@ class ModelBundle:
 
     def _transcribe_prepared(self, wavs, alens, decode_cfg) -> List[str]:
         fe = self.config.frontend
-        feats = features.featurize_batch(jnp.asarray(wavs), fe)
+        wav_dev, = self._shard_inputs(jnp.asarray(wavs))
+        feats = features.featurize_batch(wav_dev, fe)
         flens = jnp.asarray(alens // fe.hop_length, dtype=jnp.int32)
+        flens, = self._shard_inputs(flens)
         if self.config.model_family == "whisper":
             ids, lens = _whisper_generate_fn_for(self.config, decode_cfg)(
                 self.params, feats

@@ -106,3 +106,74 @@ def test_tp_step_matches_single_device(rng):
         lambda a, b: np.abs(np.asarray(a) - np.asarray(b)).max(), st1.params, st2.params
     )
     assert max(jax.tree_util.tree_leaves(d)) < 1e-4
+
+
+def test_tp_greedy_decode_matches_single_device(rng):
+    """Megatron-TP-sharded whisper greedy decode (serving path) produces
+    the same tokens as unsharded decode: params sharded over 'model' +
+    'fsdp', inputs over 'data', XLA propagates through the KV-cached
+    while_loop."""
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+    from jiao_liao_speech_recognition_tpu.parallel.mesh import (
+        build_mesh,
+        shard_batch,
+    )
+    from jiao_liao_speech_recognition_tpu.parallel.tp_rules import (
+        fsdp_tp_sharding,
+    )
+
+    model = WhisperModel(CFG.whisper)
+    params = ModelBundle._init_params(CFG)
+    mel = jnp.asarray(rng.randn(4, 80, 64).astype(np.float32) * 0.3)
+
+    run = jax.jit(
+        lambda p, m: greedy_generate(
+            model, p, m, max_len=10, prompt=(1, 2), eot_id=0
+        )
+    )
+    gen1, len1 = run(params, mel)
+
+    mesh = build_mesh(MeshConfig(data_axis=2, fsdp_axis=2, model_axis=2),
+                      jax.devices())
+    psh = fsdp_tp_sharding(mesh, params)
+    params_s = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, s), params, psh
+    )
+    mel_s = shard_batch(mesh, mel)
+    gen2, len2 = run(params_s, mel_s)
+    np.testing.assert_array_equal(np.asarray(len1), np.asarray(len2))
+    np.testing.assert_array_equal(np.asarray(gen1), np.asarray(gen2))
+
+
+def test_bundle_sharded_transcribe_matches_unsharded(tmp_path, rng):
+    """ModelBundle.shard(): mesh-sharded inference through the public
+    transcribe path returns the same texts as unsharded."""
+    import dataclasses as dc
+
+    from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
+    from jiao_liao_speech_recognition_tpu.parallel.mesh import build_mesh
+
+    cfg = dc.replace(CFG)
+    cfg.frontend = dc.replace(cfg.frontend, chunk_seconds=0.5)
+    wav = (0.2 * np.sin(2 * np.pi * 300 * np.arange(8000) / 16000)).astype(
+        np.float32
+    )
+    p = tmp_path / "u.wav"
+    write_wav(str(p), wav, 16000)
+
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+
+    tok = CharTokenizer.build(["abc def"])
+    params = ModelBundle._init_params(cfg)
+    b1 = ModelBundle(config=cfg, params=params, tokenizer=tok)
+    t1 = b1.transcribe([str(p)])
+
+    b2 = ModelBundle(config=cfg, params=params, tokenizer=tok)
+    b2.shard(build_mesh(MeshConfig(data_axis=2, fsdp_axis=2, model_axis=2),
+                        jax.devices()))
+    assert b2.mesh is not None
+    t2 = b2.transcribe([str(p)])
+    assert t1 == t2
