@@ -185,6 +185,19 @@ def cmd_import_whisper(args) -> int:
     return 0
 
 
+def cmd_export_whisper(args) -> int:
+    from .api import load
+    from .models.whisper_import import export_hf_checkpoint
+
+    bundle = load(checkpoint=args.checkpoint, config=args.config)
+    if bundle.config.model_family != "whisper":
+        print("export-whisper needs a whisper-family bundle", file=sys.stderr)
+        return 1
+    out = export_hf_checkpoint(bundle, args.out)
+    print(json.dumps({"out": str(out)}))
+    return 0
+
+
 def cmd_build_native(args) -> int:
     from .utils.native_ext import build_native
 
@@ -239,6 +252,15 @@ def main(argv=None) -> int:
     pi.add_argument("src", help="HF dir: model.safetensors + config.json [+ tokenizer]")
     pi.add_argument("--out", required=True, help="bundle checkpoint dir to write")
     pi.set_defaults(fn=cmd_import_whisper)
+
+    px = sub.add_parser(
+        "export-whisper",
+        help="whisper bundle checkpoint -> HF dir (from_pretrained-able)",
+    )
+    px.add_argument("--checkpoint", required=True)
+    px.add_argument("--config")
+    px.add_argument("--out", required=True, help="HF checkpoint dir to write")
+    px.set_defaults(fn=cmd_export_whisper)
 
     pf = sub.add_parser("featurize", help="audio -> log-mel .npy")
     pf.add_argument("audio")

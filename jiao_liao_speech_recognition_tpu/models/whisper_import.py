@@ -159,6 +159,130 @@ def hf_state_dict_to_flax(sd: Dict[str, np.ndarray], cfg) -> Dict:
     return {"encoder": enc, "decoder": dec}
 
 
+# ---------------------------------------------------------------------------
+# Flax tree -> HF Whisper state dict (export; exact inverse of the import
+# mapping above: [in,out] kernels transpose back to torch [out,in] linears,
+# [k,in,out] convs back to [out,in,k])
+# ---------------------------------------------------------------------------
+
+
+def _inv_linear(out, prefix, tree):
+    out[f"{prefix}.weight"] = np.asarray(tree["dense"]["kernel"]).T
+    if "bias" in tree["dense"]:
+        out[f"{prefix}.bias"] = np.asarray(tree["dense"]["bias"])
+
+
+def _inv_ln(out, prefix, tree):
+    out[f"{prefix}.weight"] = np.asarray(tree["scale"])
+    out[f"{prefix}.bias"] = np.asarray(tree["bias"])
+
+
+def _inv_attn(out, prefix, tree):
+    _inv_linear(out, f"{prefix}.q_proj", tree["q_proj"])
+    _inv_linear(out, f"{prefix}.k_proj", tree["k_proj"])
+    _inv_linear(out, f"{prefix}.v_proj", tree["v_proj"])
+    _inv_linear(out, f"{prefix}.out_proj", tree["out_proj"])
+
+
+def _inv_block(out, prefix, tree, cross: bool):
+    _inv_attn(out, f"{prefix}.self_attn", tree["self_attn"])
+    _inv_ln(out, f"{prefix}.self_attn_layer_norm", tree["self_attn_ln"])
+    _inv_linear(out, f"{prefix}.fc1", tree["mlp"]["fc1"])
+    _inv_linear(out, f"{prefix}.fc2", tree["mlp"]["fc2"])
+    _inv_ln(out, f"{prefix}.final_layer_norm", tree["mlp_ln"])
+    if cross:
+        _inv_attn(out, f"{prefix}.encoder_attn", tree["cross_attn"])
+        _inv_ln(out, f"{prefix}.encoder_attn_layer_norm", tree["cross_attn_ln"])
+
+
+def flax_to_hf_state_dict(params: Dict, cfg) -> Dict[str, np.ndarray]:
+    """Map a WhisperModel Flax tree back onto a transformers
+    WhisperForConditionalGeneration state dict (`model.*` key style;
+    adapter params — `adapter_*` subtrees — are skipped: HF has no slot
+    for them, use the adapter-only artifact for those)."""
+    sd: Dict[str, np.ndarray] = {}
+    enc, dec = params["encoder"], params["decoder"]
+    sd["model.encoder.conv1.weight"] = np.asarray(
+        enc["conv1"]["kernel"]
+    ).transpose(2, 1, 0)
+    sd["model.encoder.conv1.bias"] = np.asarray(enc["conv1"]["bias"])
+    sd["model.encoder.conv2.weight"] = np.asarray(
+        enc["conv2"]["kernel"]
+    ).transpose(2, 1, 0)
+    sd["model.encoder.conv2.bias"] = np.asarray(enc["conv2"]["bias"])
+    _inv_ln(sd, "model.encoder.layer_norm", enc["ln_post"])
+    for i in range(cfg.encoder_layers):
+        _inv_block(sd, f"model.encoder.layers.{i}", enc[f"block_{i}"], cross=False)
+
+    sd["model.decoder.embed_tokens.weight"] = np.asarray(
+        dec["embed_tokens"]["embedding"]
+    )
+    sd["model.decoder.embed_positions.weight"] = np.asarray(dec["embed_positions"])
+    _inv_ln(sd, "model.decoder.layer_norm", dec["ln"])
+    for i in range(cfg.decoder_layers):
+        _inv_block(sd, f"model.decoder.layers.{i}", dec[f"block_{i}"], cross=True)
+    # transformers ties proj_out to the embedding; fixed sinusoidal encoder
+    # positions are non-persistent there, so neither is exported
+    return sd
+
+
+def export_hf_checkpoint(bundle, out: str | Path) -> Path:
+    """ModelBundle (whisper family) -> an HF checkpoint directory
+    transformers can `from_pretrained`: model.safetensors (f32, torch
+    layout) + config.json + generation_config.json."""
+    import jax
+
+    cfg = bundle.config.whisper
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), bundle.params
+    )
+    sd = flax_to_hf_state_dict(params, cfg)
+    write_safetensors(out / "model.safetensors", sd)
+    heads = cfg.num_heads
+    config = {
+        "architectures": ["WhisperForConditionalGeneration"],
+        "model_type": "whisper",
+        "vocab_size": cfg.vocab_size,
+        "num_mel_bins": cfg.num_mels,
+        "d_model": cfg.d_model,
+        "encoder_layers": cfg.encoder_layers,
+        "decoder_layers": cfg.decoder_layers,
+        "encoder_attention_heads": heads,
+        "decoder_attention_heads": heads,
+        "encoder_ffn_dim": cfg.mlp_dim,
+        "decoder_ffn_dim": cfg.mlp_dim,
+        "max_source_positions": cfg.max_source_positions,
+        "max_target_positions": cfg.max_target_positions,
+        "activation_function": "gelu",
+        "is_encoder_decoder": True,
+        "tie_word_embeddings": True,
+    }
+    # special ids must lie inside the (possibly small) vocab or torch's
+    # Embedding(padding_idx=...) asserts; Whisper convention: bos == pad ==
+    # eot, decoder start = <|startoftranscript|>. Clamp for non-standard
+    # small vocabs (resolve_specials defaults assume the 51865 vocab).
+    from ..decode.whisper_generate import resolve_specials
+
+    prompt, eot = resolve_specials(cfg)
+    eot = int(eot) if eot < cfg.vocab_size else cfg.vocab_size - 1
+    start = int(prompt[0]) if prompt and prompt[0] < cfg.vocab_size else eot
+    config["eos_token_id"] = eot
+    config["pad_token_id"] = eot
+    config["bos_token_id"] = eot
+    config["decoder_start_token_id"] = start
+    (out / "config.json").write_text(json.dumps(config, indent=2), encoding="utf-8")
+    gc = {
+        "suppress_tokens": list(cfg.suppress_ids),
+        "begin_suppress_tokens": list(cfg.begin_suppress_ids),
+    }
+    (out / "generation_config.json").write_text(
+        json.dumps(gc, indent=2), encoding="utf-8"
+    )
+    return out
+
+
 def load_hf_generation_constraints(path: str | Path) -> Dict[str, tuple]:
     """Read generation_config.json (HF layout) for the decode-time token
     constraints transformers' generate() applies by default: suppress_tokens

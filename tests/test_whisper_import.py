@@ -268,3 +268,34 @@ def test_import_hf_checkpoint_cli_roundtrip(hf_whisper, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_hf_checkpoint_roundtrip_and_transformers_load(hf_whisper, tmp_path):
+    """Export back to HF format: transformers loads the exported dir and its
+    logits match the original torch model (full import -> export -> torch
+    roundtrip)."""
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperForConditionalGeneration
+
+    from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+        export_hf_checkpoint,
+        import_hf_checkpoint,
+    )
+
+    model_t, hf_cfg, ckpt_dir = hf_whisper
+    bundle = import_hf_checkpoint(ckpt_dir, tmp_path / "bundle")
+    out = export_hf_checkpoint(bundle, tmp_path / "hf_out")
+
+    model_rt = WhisperForConditionalGeneration.from_pretrained(out).eval()
+    rng_l = np.random.RandomState(3)
+    mel = torch.tensor(
+        rng_l.randn(1, hf_cfg.num_mel_bins, 2 * hf_cfg.max_source_positions)
+        .astype(np.float32)
+    )
+    toks = torch.tensor(rng_l.randint(0, hf_cfg.vocab_size, (1, 6)))
+    with torch.no_grad():
+        want = model_t(input_features=mel, decoder_input_ids=toks).logits
+        got = model_rt(input_features=mel, decoder_input_ids=toks).logits
+    np.testing.assert_allclose(
+        got.numpy(), want.numpy(), atol=1e-5, rtol=1e-5
+    )
