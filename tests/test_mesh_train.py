@@ -213,11 +213,24 @@ def test_run_stages_checkpoints_and_resumes(tmp_path, rng):
         [sys.executable, "-c", script], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
-    time.sleep(20)  # somewhere mid-schedule (compile + a few steps)
+    # wait for the READY marker (imports/jax init can take minutes on a
+    # loaded host — a fixed sleep raced it and flaked), THEN give the run
+    # a bounded head start before the kill
+    seen = []
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        seen.append(line)
+        if "READY" in line:
+            break
+    assert any("READY" in l for l in seen), "".join(seen)[-2000:]
+    time.sleep(15)  # somewhere mid-schedule (compile + a few steps)
     if proc.poll() is None:
         proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=240)
-    assert "READY" in out, out[-2000:]
+    rest, _ = proc.communicate(timeout=240)
+    out = "".join(seen) + (rest or "")
 
     # resume to completion in-process
     cfg2 = stage_cfg(ck_dir)
