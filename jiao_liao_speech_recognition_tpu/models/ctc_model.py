@@ -160,7 +160,14 @@ class CTCHead(nn.Module):
 
     def argmax_ids(self, x: jnp.ndarray) -> jnp.ndarray:
         """Fused matmul+argmax (greedy decode): never materializes the
-        [B, T, V] logits in HBM (ops/fused_head.py)."""
-        from ..ops.fused_head import fused_head_argmax
+        [B, T, V] logits in HBM (ops/fused_head.py). Off-TPU (CPU tests,
+        CPU-JAX parity path) the Pallas interpreter would be far slower than
+        plain XLA — and the kernel pads batch to BLOCK_B=8 — so gate on the
+        backend like the layers.py fast paths and fall back to matmul+argmax."""
+        import jax as _jax
 
-        return fused_head_argmax(x.astype(self.dtype), self.kernel, self.bias)
+        if _jax.default_backend() == "tpu":
+            from ..ops.fused_head import fused_head_argmax
+
+            return fused_head_argmax(x.astype(self.dtype), self.kernel, self.bias)
+        return jnp.argmax(self(x), axis=-1).astype(jnp.int32)

@@ -294,6 +294,14 @@ class TransformerBlock(nn.Module):
             if mask is None:
                 kv_lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             else:
+                # ASSUMPTION: a [B,1,1,T] key mask is a contiguous PREFIX
+                # (length) mask — the only kind this repo's encoders produce
+                # (length_mask in models/*). The fused kernels take
+                # per-example kv_lengths, so a non-prefix key-validity mask
+                # of the same shape would be silently misread as "attend to
+                # the first sum(mask) keys". Callers adding a new mask source
+                # must either guarantee prefix form or skip the fast path
+                # (use_flash_attention=False).
                 m = jnp.broadcast_to(mask, (x.shape[0], 1, 1, x.shape[1]))
                 kv_lens = jnp.sum(m[:, 0, 0, :].astype(jnp.int32), axis=-1)
             if attn_sublayer_fits_vmem(self.d_model, self.d_model, x.shape[1]):
