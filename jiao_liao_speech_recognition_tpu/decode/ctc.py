@@ -278,6 +278,60 @@ def ctc_prefix_beam_search_host(
     return out_ids, out_len
 
 
+# ---------------------------------------------------------------------------
+# Prefix beam search (native C++, device-pruned) — the production beam path
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "blank_id"))
+def ctc_topk_posteriors(
+    log_probs: jnp.ndarray,  # [B, T, V]
+    k: int,
+    blank_id: int = 0,
+):
+    """Device-side pruning for the native beam: per frame, the top-k
+    EXTENSION log-probs/ids (blank masked out) plus the blank log-prob.
+    Only [B,T,k]+[B,T] leaves the chip instead of the full [B,T,V] rows."""
+    lp_ext = log_probs.at[:, :, blank_id].set(-1e30)
+    top_vals, top_ids = jax.lax.top_k(lp_ext, k)
+    return top_vals, top_ids.astype(jnp.int32), log_probs[:, :, blank_id]
+
+
+def ctc_prefix_beam_search_native(
+    log_probs,  # [B, T, V] device or host
+    lengths,  # [B]
+    beam_size: int = 8,
+    blank_id: int = 0,
+    topk_tokens: int = 64,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CTC prefix beam search via the C++ engine (native/beam.cpp),
+    multithreaded across utterances over device-pruned top-k posteriors.
+
+    Same merge semantics as ctc_prefix_beam_search_host; exact when
+    topk_tokens >= V-1 (the parity test runs that config). The repeat-last
+    expansion reads lp[last] from the frame's pruned list (absent -> -inf),
+    which coincides with the host searcher whenever the beam's last token is
+    inside the frame's top-k — always true for tokens the pruned proposal
+    set admitted that frame.
+    """
+    from ..utils.native_ext import load_beam
+
+    V = log_probs.shape[-1]
+    k = min(topk_tokens, V - 1)
+    top_vals, top_ids, blank_lp = ctc_topk_posteriors(
+        jnp.asarray(log_probs), k, blank_id
+    )
+    return load_beam().search(
+        np.asarray(top_vals),
+        np.asarray(top_ids),
+        np.asarray(blank_lp),
+        np.asarray(lengths),
+        beam_size,
+        n_threads,
+    )
+
+
 def ids_to_texts(ids: np.ndarray, lengths: np.ndarray, tokenizer) -> List[str]:
     """Host-side final lookup: packed id rows -> strings."""
     out = []

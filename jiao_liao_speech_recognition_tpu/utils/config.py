@@ -234,6 +234,9 @@ class DecodeConfig:
     # joint rescoring — decode/joint_generate.py)
     strategy: str = "greedy"
     beam_size: int = 8
+    # per-frame proposal-set width for CTC prefix beam (host, native C++,
+    # and device searchers); >= vocab-1 makes the pruned searchers exact
+    beam_topk: int = 64
     ctc_blank_id: int = 0
     max_decode_len: int = 224  # Whisper AR decode cap
     length_penalty: float = 1.0

@@ -156,6 +156,56 @@ def load_flacio():
     return _FlacIO()
 
 
+@lru_cache(maxsize=None)
+def load_beam():
+    """Load the C++ batched CTC prefix beam search (native/beam.cpp).
+
+    Returns an object with
+    ``search(lp_top, tok_top, lp_blank, lengths, beam_size, n_threads)
+    -> (ids [B, T] int32, lens [B] int32)`` over device-pruned top-K frame
+    posteriors (see decode/ctc.py::ctc_prefix_beam_search_native).
+    """
+    lib = ctypes.CDLL(str(_lib_path("beam")))
+    lib.ctc_beam_search_topk.restype = None
+    lib.ctc_beam_search_topk.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # lp_top [B,T,K]
+        ctypes.POINTER(ctypes.c_int32),   # tok_top [B,T,K]
+        ctypes.POINTER(ctypes.c_float),   # lp_blank [B,T]
+        ctypes.POINTER(ctypes.c_int32),   # lengths [B]
+        ctypes.c_int32,                   # B
+        ctypes.c_int32,                   # T
+        ctypes.c_int32,                   # K
+        ctypes.c_int32,                   # beam_size
+        ctypes.POINTER(ctypes.c_int32),   # out_ids [B,T]
+        ctypes.POINTER(ctypes.c_int32),   # out_lens [B]
+        ctypes.c_int32,                   # n_threads
+    ]
+
+    class _Beam:
+        @staticmethod
+        def search(lp_top, tok_top, lp_blank, lengths, beam_size, n_threads=0):
+            lp_top = np.ascontiguousarray(lp_top, dtype=np.float32)
+            tok_top = np.ascontiguousarray(tok_top, dtype=np.int32)
+            lp_blank = np.ascontiguousarray(lp_blank, dtype=np.float32)
+            lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+            B, T, K = lp_top.shape
+            out_ids = np.zeros((B, T), dtype=np.int32)
+            out_lens = np.zeros((B,), dtype=np.int32)
+            lib.ctc_beam_search_topk(
+                lp_top.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                tok_top.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                lp_blank.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                B, T, K, beam_size,
+                out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_threads,
+            )
+            return out_ids, out_lens
+
+    return _Beam()
+
+
 def load_bpe(tokenizer):
     """Bind the C++ BPE merge loop (native/bpe.cpp) to a ByteLevelBPE
     instance: merge rules become (left<<32|right) keys over vocab ids.

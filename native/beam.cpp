@@ -1,0 +1,185 @@
+// Batched CTC prefix beam search over device-pruned top-k frame posteriors.
+//
+// TPU-native division of labor (SURVEY.md §7 hard-part 3, C14): the chip
+// runs encoder + log_softmax + per-frame top-k (MXU/VPU work), the host
+// runs the inherently ragged beam bookkeeping — this file — multithreaded
+// across utterances. Transfer per frame is K+1 floats instead of the full
+// |V| row, so a 128 x 30 s batch ships ~50 MB rather than ~1.6 GB.
+//
+// Replaces the reference's SpeechBrain host beam searchers
+// (/root/reference/requirements.txt:71 [dep-inferred]); semantics match
+// decode/ctc.py::ctc_prefix_beam_search_host (sum over alignments per
+// collapsed prefix, exact duplicate merge) with one deliberate deviation:
+// the repeat-last expansion reads lp[last] from THIS frame's top-K list and
+// treats absence as -inf. With K >= |V|-1 the search is exact (the parity
+// test runs that config); production K=64 prunes identically to the
+// proposal set, so any token a beam could extend with is present anyway.
+//
+// Build: make -C native   (-> build/libbeam.so, ctypes-loaded by
+// jiao_liao_speech_recognition_tpu/utils/native_ext.py)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double NEG = -1e30;
+
+inline double lse(double a, double b) {
+  if (a <= NEG) return b;
+  if (b <= NEG) return a;
+  double m = a > b ? a : b;
+  return m + std::log(std::exp(a - m) + std::exp(b - m));
+}
+
+struct Beam {
+  std::vector<int32_t> prefix;
+  uint64_t hash = 1469598103934665603ull;  // FNV offset basis
+  double pb = 0.0;    // log P(prefix, ends in blank)
+  double pnb = NEG;   // log P(prefix, ends in non-blank)
+};
+
+inline uint64_t hash_extend(uint64_t h, int32_t tok) {
+  // FNV-1a over token bytes: cheap, incremental, 64-bit — the merge key.
+  h ^= static_cast<uint64_t>(static_cast<uint32_t>(tok) + 1u);
+  h *= 1099511628211ull;
+  return h;
+}
+
+struct Cand {
+  double pb = NEG, pnb = NEG;
+  int32_t src = -1;   // source beam index
+  int32_t app = -1;   // appended token (-1 = same prefix)
+};
+
+void decode_one(const float* lp_top, const int32_t* tok_top,
+                const float* lp_blank, int len, int T, int K, int beam_size,
+                int32_t* out_ids, int32_t* out_len) {
+  std::vector<Beam> beams(1);  // the empty prefix
+  std::unordered_map<uint64_t, Cand> cands;
+  std::vector<std::pair<double, uint64_t>> order;
+  cands.reserve(static_cast<size_t>(beam_size) * (K + 2) * 2);
+
+  for (int t = 0; t < len; ++t) {
+    const float* lt = lp_top + static_cast<size_t>(t) * K;
+    const int32_t* tt = tok_top + static_cast<size_t>(t) * K;
+    const double lpb = lp_blank[t];
+    cands.clear();
+
+    for (size_t i = 0; i < beams.size(); ++i) {
+      const Beam& bm = beams[i];
+      const double ptot = lse(bm.pb, bm.pnb);
+      const bool has_last = !bm.prefix.empty();
+      const int32_t last = has_last ? bm.prefix.back() : -1;
+
+      // same-prefix candidate: emit blank, or repeat the last token
+      Cand& same = cands[bm.hash];
+      if (same.src < 0) { same.src = static_cast<int32_t>(i); same.app = -1; }
+      same.pb = lse(same.pb, ptot + lpb);
+      if (has_last) {
+        // lp[last] from this frame's pruned list; absent -> -inf (exact
+        // when K covers the vocab — see file header)
+        double lp_last = NEG;
+        for (int j = 0; j < K; ++j) {
+          if (tt[j] == last) { lp_last = lt[j]; break; }
+        }
+        if (lp_last > NEG) same.pnb = lse(same.pnb, bm.pnb + lp_last);
+      }
+
+      // extension candidates: append token v
+      for (int j = 0; j < K; ++j) {
+        const int32_t v = tt[j];
+        if (v < 0) continue;  // padding slot (K > V-1)
+        const double src_p = (has_last && v == last) ? bm.pb : ptot;
+        if (src_p <= NEG) continue;
+        const uint64_t h = hash_extend(bm.hash, v);
+        Cand& c = cands[h];
+        if (c.src < 0) { c.src = static_cast<int32_t>(i); c.app = v; }
+        c.pnb = lse(c.pnb, src_p + lt[j]);
+      }
+    }
+
+    // keep the top beam_size candidates by total probability
+    order.clear();
+    order.reserve(cands.size());
+    for (const auto& kv : cands)
+      order.emplace_back(-lse(kv.second.pb, kv.second.pnb), kv.first);
+    const size_t keep = std::min(static_cast<size_t>(beam_size), order.size());
+    std::partial_sort(order.begin(), order.begin() + keep, order.end());
+
+    std::vector<Beam> next;
+    next.reserve(keep);
+    for (size_t r = 0; r < keep; ++r) {
+      const Cand& c = cands[order[r].second];
+      Beam nb;
+      nb.prefix = beams[c.src].prefix;  // copy, then maybe extend
+      nb.hash = beams[c.src].hash;
+      if (c.app >= 0) {
+        nb.prefix.push_back(c.app);
+        nb.hash = hash_extend(nb.hash, c.app);
+      }
+      nb.pb = c.pb;
+      nb.pnb = c.pnb;
+      next.push_back(std::move(nb));
+    }
+    beams.swap(next);
+  }
+
+  const Beam* best = &beams[0];
+  double best_p = lse(best->pb, best->pnb);
+  for (const Beam& bm : beams) {
+    const double p = lse(bm.pb, bm.pnb);
+    if (p > best_p) { best_p = p; best = &bm; }
+  }
+  const int n = static_cast<int>(std::min<size_t>(best->prefix.size(), T));
+  std::memcpy(out_ids, best->prefix.data(), sizeof(int32_t) * n);
+  *out_len = n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// lp_top/tok_top: [B,T,K] pruned extension log-probs + token ids (blank
+// excluded upstream; tok < 0 marks padding slots). lp_blank: [B,T].
+// lengths: [B] valid frames. out_ids: [B,T] (left-packed), out_lens: [B].
+void ctc_beam_search_topk(const float* lp_top, const int32_t* tok_top,
+                          const float* lp_blank, const int32_t* lengths,
+                          int32_t B, int32_t T, int32_t K, int32_t beam_size,
+                          int32_t* out_ids, int32_t* out_lens,
+                          int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, B);
+
+  auto work = [&](int32_t begin, int32_t end) {
+    for (int32_t b = begin; b < end; ++b) {
+      std::memset(out_ids + static_cast<size_t>(b) * T, 0,
+                  sizeof(int32_t) * T);
+      decode_one(lp_top + static_cast<size_t>(b) * T * K,
+                 tok_top + static_cast<size_t>(b) * T * K,
+                 lp_blank + static_cast<size_t>(b) * T,
+                 std::min(lengths[b], T), T, K, beam_size,
+                 out_ids + static_cast<size_t>(b) * T, out_lens + b);
+    }
+  };
+
+  if (n_threads <= 1) {
+    work(0, B);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int32_t chunk = (B + n_threads - 1) / n_threads;
+  for (int32_t s = 0; s < B; s += chunk)
+    pool.emplace_back(work, s, std::min(s + chunk, B));
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

@@ -21,6 +21,47 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default runs skip @pytest.mark.heavy (the multi-minute XLA:CPU mesh
+    compiles and subprocess multihost runs) so the edit-test loop stays
+    fast. They are NOT optional: run `JL_HEAVY=1 pytest tests/ -q` (or
+    `-m heavy`) before committing parallel/train changes."""
+    if os.environ.get("JL_HEAVY"):
+        return
+    if config.getoption("-m") and "heavy" in config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy (compile-minutes): set JL_HEAVY=1 or -m heavy to run"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
+
+def pytest_configure(config):
+    """Build the C++ host libs BEFORE collection so test_flac/test_bpe/...
+    run against real native code on a fresh checkout (their module-level
+    skipifs see the built libs; no silent skips). Fails LOUDLY if the
+    toolchain is present but the build breaks; only a missing compiler
+    leaves the libs absent (and those tests skipped)."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cxx = os.environ.get("CXX", "g++")
+    if shutil.which(cxx) is None:
+        return  # no toolchain: native tests fall back to their own skips
+    r = subprocess.run(
+        ["make", "-C", os.path.join(root, "native")],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        raise pytest.UsageError(
+            f"native build failed (rc={r.returncode}):\n{r.stdout}\n{r.stderr}"
+        )
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)
