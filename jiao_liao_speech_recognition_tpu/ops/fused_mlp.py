@@ -16,8 +16,10 @@ Two kernels, both tiling over (batch, time) with grid-resident weights
 
 Numerics mirror the flax modules they replace (models/layers.py): f32
 LayerNorm statistics, bf16 operands, f32 MXU accumulation rounded to bf16
-before the bias add, tanh-form GELU evaluated in f32 (<3.1e-3 abs from the
-exact erf form — Mosaic TC can't lower erf/erfc).
+before the bias add, exact-form GELU via an erf rational approximation in
+f32 (<=1.5e-7 abs — far below one bf16 ulp; Mosaic TC can't lower erf
+directly, see _erf_gelu_f32). bench.py's --parity mode asserts TPU-fused
+vs CPU-module greedy TEXT equality end-to-end every round.
 
 TPU-native replacement for the reference's fused CUDA epilogues
 (torch 2.1 inductor fusions, /root/reference/requirements.txt:75).
@@ -39,6 +41,32 @@ from jax.experimental import pallas as pl
 BLOCK_T = 256
 # weights + hidden tile + double-buffered x/y tiles must fit in ~16 MB VMEM
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _erf_gelu_f32(hf: jnp.ndarray) -> jnp.ndarray:
+    """Exact-form GELU 0.5*h*(1+erf(h/sqrt(2))) for Mosaic, which can't
+    lower erf/erfc directly. erf is the Abramowitz–Stegun 7.1.26 rational
+    approximation (|abs err| <= 1.5e-7 in f32) — ~25x below one bf16 ulp at
+    |gelu|~1, so after the kernel's bf16 cast this matches the module path's
+    jax.nn.gelu(approximate=False) except for values within ~1e-7 of a bf16
+    rounding boundary. (The previous tanh-form GELU sat 3e-3 away — a full
+    bf16 ulp — which is what kept TPU and CPU logits visibly apart.)"""
+    x = hf * np.float32(1.0 / np.sqrt(2.0))
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+    poly = t * (
+        np.float32(0.254829592)
+        + t * (
+            np.float32(-0.284496736)
+            + t * (
+                np.float32(1.421413741)
+                + t * (np.float32(-1.453152027) + t * np.float32(1.061405429))
+            )
+        )
+    )
+    erf_ax = 1.0 - poly * jnp.exp(-ax * ax)
+    erf = jnp.sign(x) * erf_ax
+    return 0.5 * hf * (1.0 + erf)
 
 
 def mlp_fits_vmem(d: int, mlp: int) -> bool:
@@ -93,10 +121,7 @@ def _ln_mlp_res_kernel(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + b1_ref[0]
     hf = h.astype(jnp.float32)
-    c = np.float32(np.sqrt(2.0 / np.pi))
-    h = (
-        0.5 * hf * (1.0 + jnp.tanh(c * (hf + np.float32(0.044715) * hf * hf * hf)))
-    ).astype(x.dtype)
+    h = _erf_gelu_f32(hf).astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

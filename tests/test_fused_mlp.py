@@ -9,6 +9,31 @@ import pytest
 from jiao_liao_speech_recognition_tpu.ops import fused_mlp as fm
 
 
+def test_erf_gelu_matches_exact_gelu_below_bf16_ulp():
+    """The kernel GELU (erf rational approx, Mosaic can't lower erf) must sit
+    orders below one bf16 ulp from jax.nn.gelu(approximate=False) — the
+    module-path form — so the fused TPU path and the CPU module path agree
+    at text level (bench.py --parity proves that end-to-end on chip)."""
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 100001, dtype=np.float32))
+    got = fm._erf_gelu_f32(x)
+    want = jax.nn.gelu(x, approximate=False)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-6
+    # After bf16 rounding the two forms agree except for inputs whose f32
+    # value lands within ~1.5e-7 of a bf16 rounding boundary (one-ulp flips;
+    # <1% of a dense grid — unavoidable for ANY erf differing at 1e-7 from
+    # XLA's). Assert the flip rate stays in that regime; end-to-end TEXT
+    # parity TPU-fused vs CPU-module is proven on-chip by bench.py --parity.
+    core = np.asarray(jnp.abs(x) <= 4.0)
+    gb = np.asarray(got.astype(jnp.bfloat16), np.float32)[core]
+    wb = np.asarray(want.astype(jnp.bfloat16), np.float32)[core]
+    flips = gb != wb
+    assert flips.mean() < 0.01, f"bf16 flip rate {flips.mean():.4f}"
+    if flips.any():
+        # every flip is exactly one bf16 ulp
+        rel = np.abs(gb[flips] - wb[flips]) / np.maximum(np.abs(wb[flips]), 1e-30)
+        assert float(rel.max()) <= 1.0 / 128.0
+
+
 def _mlp_inputs(B=2, T=96, d=128, mlp=256, seed=0):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.randn(B, T, d).astype(np.float32), jnp.bfloat16)
