@@ -23,6 +23,12 @@ def _load_config(args):
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "multihost", False):
+        # must happen before any jax backend use (SURVEY C19: the
+        # reference's `accelerate launch` process-group init equivalent)
+        from .parallel.multihost import initialize
+
+        initialize()
     from .api import fine_tune
     from .train.schedules import run_stages
     from .utils.profiling import trace
@@ -214,6 +220,13 @@ def main(argv=None) -> int:
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--profile", metavar="LOGDIR", help="write an xprof trace")
+    pt.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize jax.distributed before training (multi-process "
+        "SPMD; auto-detects on TPU pod slices, or set JL_COORDINATOR / "
+        "JL_NUM_PROCESSES / JL_PROCESS_ID)",
+    )
     pt.add_argument("override", nargs="*", help="key.subkey=value overrides")
     pt.set_defaults(fn=cmd_train)
 

@@ -25,14 +25,20 @@ from ..frontend.resample import resample
 
 @dataclass
 class Batch:
-    """Host-side padded batch, ready for device put."""
+    """Host-side padded batch, ready for device put.
 
-    audio: np.ndarray  # [B, samples] float32
-    audio_lengths: np.ndarray  # [B] int32 valid samples
-    labels: np.ndarray  # [B, S] int32
-    label_lengths: np.ndarray  # [B] int32
+    Under multi-host SPMD the arrays hold only THIS process's shard of the
+    global batch; `global_rows` is the full cross-process batch size (==
+    len(audio) single-process) so parallel.mesh.shard_batch knows whether
+    it is assembling a global array from local shards or replicating."""
+
+    audio: np.ndarray  # [B_local, samples] float32
+    audio_lengths: np.ndarray  # [B_local] int32 valid samples
+    labels: np.ndarray  # [B_local, S] int32
+    label_lengths: np.ndarray  # [B_local] int32
     texts: List[str]  # raw transcripts (eval)
     bucket_seconds: float
+    global_rows: int = 0
 
 
 def _bucket_for(duration: float, boundaries: Sequence[float]) -> float:
@@ -56,6 +62,8 @@ class BatchIterator:
         sample_rate: int = 16000,
         drop_last: bool = True,
         shuffle: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.rows = list(
             manifest.filter_duration(cfg.min_audio_seconds, cfg.max_audio_seconds)
@@ -67,6 +75,23 @@ class BatchIterator:
         self.sample_rate = sample_rate
         self.drop_last = drop_last
         self.shuffle = shuffle
+        # Multi-host SPMD (SURVEY §1.b "per-host sharding"): every process
+        # computes the IDENTICAL seeded epoch plan of GLOBAL batches, then
+        # collates only its contiguous row-slice of each batch. The iterator
+        # state (epoch, cursor) is therefore global and identical across
+        # processes — resume is exact even if the process count changes.
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if self.process_count > 1 and cfg.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide evenly over "
+                f"{self.process_count} processes"
+            )
         self.epoch = 0
         self.cursor = 0
         self._plan: Optional[List[List[int]]] = None
@@ -138,6 +163,14 @@ class BatchIterator:
 
     def _collate(self, rows: List[ManifestRow], bucket_seconds: float) -> Batch:
         samples = int(bucket_seconds * self.sample_rate)
+        global_rows = len(rows)
+        if self.process_count > 1 and global_rows % self.process_count == 0:
+            # this host decodes/pads only its slice; the bucket shape above
+            # came from the FULL batch so shapes agree across processes
+            k = global_rows // self.process_count
+            rows = rows[self.process_index * k : (self.process_index + 1) * k]
+        # else (ragged tiny-corpus batch): every host collates the full
+        # batch; shard_batch replicates it — correct, just not DP-split
         B = len(rows)
         audio = np.zeros((B, samples), np.float32)
         alen = np.zeros((B,), np.int32)
@@ -157,7 +190,7 @@ class BatchIterator:
             labels[i, : len(ids)] = ids
             llen[i] = len(ids)
             texts.append(r.text)
-        return Batch(audio, alen, labels, llen, texts, bucket_seconds)
+        return Batch(audio, alen, labels, llen, texts, bucket_seconds, global_rows)
 
 
 class PrefetchIterator:

@@ -259,8 +259,21 @@ class ModelBundle:
         if (m.fsdp_axis > 1 or m.model_axis > 1) and (
             len(jax.devices()) >= m.fsdp_axis * m.model_axis
         ):
-            # explicit multi-chip request in the config: shard for inference
-            bundle.shard()
+            # explicit multi-chip request in the config: shard for inference.
+            # A checkpoint saved with a pod-scale mesh config must still LOAD
+            # on a host whose device count doesn't tile the requested mesh
+            # (e.g. fsdp=4 on 6 devices) — fall back to unsharded with a
+            # warning instead of crashing in build_mesh's divisibility check.
+            try:
+                bundle.shard()
+            except ValueError as e:
+                import warnings
+
+                warnings.warn(
+                    f"config requests mesh fsdp={m.fsdp_axis} model={m.model_axis} "
+                    f"but {len(jax.devices())} devices don't tile it ({e}); "
+                    "loading unsharded"
+                )
         return bundle
 
     @staticmethod
@@ -309,15 +322,20 @@ class ModelBundle:
         return restore_params(str(ckpt), cls._init_params(config))
 
     def save(self, path: str) -> None:
+        from ..parallel import multihost as mh
         from ..train.checkpoints import save_params
         from ..utils.config import save_yaml
 
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
-        save_yaml(self.config, str(p / "config.yaml"))
-        if hasattr(self.tokenizer, "save"):
-            self.tokenizer.save(p / "vocab.json")
+        if mh.is_primary():
+            # host-side metadata is primary-only under multi-host SPMD; the
+            # orbax param save below is itself a multihost collective
+            save_yaml(self.config, str(p / "config.yaml"))
+            if hasattr(self.tokenizer, "save"):
+                self.tokenizer.save(p / "vocab.json")
         save_params(str(p), self.params)
+        mh.barrier("bundle_save")
 
     # ------------------------------------------------------------- inference
     def encode(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
@@ -387,22 +405,38 @@ class ModelBundle:
             return ids_to_texts(np.asarray(ids), np.asarray(lens), self.tokenizer)
         log_probs, out_lens = self.encode(feats, flens)
         if decode_cfg.strategy == "beam":
-            # host beam by default: identical semantics, no XLA compile cost
-            from ..decode.ctc import ctc_prefix_beam_search_host
+            from ..utils.native_ext import native_available
 
             lm = None
             if decode_cfg.lm_path and decode_cfg.lm_weight > 0.0:
                 from ..decode.lm import NGramCharLM
 
                 lm = NGramCharLM.load(decode_cfg.lm_path)
-            ids, lens = ctc_prefix_beam_search_host(
-                np.asarray(log_probs), np.asarray(out_lens),
-                decode_cfg.beam_size, decode_cfg.ctc_blank_id,
-                lm=lm, lm_weight=decode_cfg.lm_weight,
-            )
+            if lm is None and native_available("beam"):
+                # production beam: C++ engine over device-pruned top-k
+                # posteriors, multithreaded across utterances — same merge
+                # semantics as the python searcher (tests/test_beam_native.py)
+                from ..decode.ctc import ctc_prefix_beam_search_native
+
+                ids, lens = ctc_prefix_beam_search_native(
+                    log_probs, out_lens,
+                    decode_cfg.beam_size, decode_cfg.ctc_blank_id,
+                    topk_tokens=decode_cfg.beam_topk,
+                )
+            else:
+                # python host beam: zero native deps + external-LM fusion
+                from ..decode.ctc import ctc_prefix_beam_search_host
+
+                ids, lens = ctc_prefix_beam_search_host(
+                    np.asarray(log_probs), np.asarray(out_lens),
+                    decode_cfg.beam_size, decode_cfg.ctc_blank_id,
+                    topk_tokens=decode_cfg.beam_topk,
+                    lm=lm, lm_weight=decode_cfg.lm_weight,
+                )
         elif decode_cfg.strategy == "beam_device":
             ids, lens = ctc_prefix_beam_search(
-                log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id
+                log_probs, out_lens, decode_cfg.beam_size, decode_cfg.ctc_blank_id,
+                topk_tokens=min(decode_cfg.beam_topk, 16),
             )
         else:
             raise ValueError(f"unknown ctc decode strategy {decode_cfg.strategy!r}")

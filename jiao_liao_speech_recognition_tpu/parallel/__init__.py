@@ -9,3 +9,4 @@ whisper-large-v3 fine-tunes (SURVEY §2.3).
 """
 
 from .mesh import build_mesh, batch_sharding, param_sharding, replicated  # noqa: F401
+from .multihost import initialize as initialize_multihost, is_primary  # noqa: F401

@@ -130,24 +130,83 @@ def opt_state_sharding(mesh: Mesh, opt_state: Any) -> Any:
     return jax.tree_util.tree_map(_fsdp_rule(mesh), opt_state)
 
 
-def shard_state(mesh: Mesh, state: Any) -> Any:
-    """Device-put a TrainState with FSDP param+opt sharding, replicating
-    scalars (step, rng). The single entry point production training uses."""
-    return state.replace(
-        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
-        opt_state=jax.device_put(state.opt_state, opt_state_sharding(mesh, state.opt_state)),
-        step=jax.device_put(state.step, replicated(mesh)),
-        rng=jax.device_put(state.rng, replicated(mesh)),
+def _is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices this process cannot address —
+    multi-host SPMD, where plain device_put of host data is illegal."""
+    return jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
     )
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with leading-axis sharding. Ragged batches
-    (a tiny final/partial batch not divisible by the data axes) fall back to
-    replication — still correct, just without DP speedup for that batch."""
+def _put_global(x: Any, sharding: NamedSharding) -> Any:
+    """device_put that also works when `sharding` spans other hosts.
+
+    Multi-host: the full host value (identical on every process — seeded
+    init / restored checkpoint) is placed shard-by-shard on the local
+    devices via make_array_from_callback; XLA never moves it over DCN.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array (e.g. stage N+1 reusing stage N's sharded
+        # params): placed correctly -> no-op; otherwise let device_put
+        # compile the resharding collective
+        return x if x.sharding == sharding else jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Place a TrainState with FSDP param+opt sharding, replicating scalars
+    (step, rng). The single entry point production training uses; handles
+    single- and multi-process meshes (every process holds the same host
+    values, each placing only its addressable shards)."""
+    put = jax.tree_util.tree_map
+    return state.replace(
+        params=put(lambda x, s: _put_global(x, s), state.params,
+                   param_sharding(mesh, state.params)),
+        opt_state=put(lambda x, s: _put_global(x, s), state.opt_state,
+                      opt_state_sharding(mesh, state.opt_state)),
+        step=_put_global(state.step, replicated(mesh)),
+        rng=_put_global(state.rng, replicated(mesh)),
+    )
+
+
+def shard_batch(mesh: Mesh, batch: Any, global_rows: Optional[int] = None) -> Any:
+    """Device-put a host batch with leading-axis sharding.
+
+    Single-process: device_put with ('data','fsdp') sharding; ragged batches
+    (leading dim not divisible by the data axes) fall back to replication —
+    still correct, just without DP speedup for that batch.
+
+    Multi-process (SURVEY C19 — the reference's multi-process DDP): each
+    host passes its LOCAL slice of the global batch plus `global_rows`, the
+    full cross-process batch size; jax.make_array_from_process_local_data
+    assembles the global sharded array. Arrays whose leading dim equals
+    `global_rows` (the ragged fallback, where every host collated the full
+    batch) replicate instead.
+    """
     sh = batch_sharding(mesh)
     n = mesh.shape["data"] * mesh.shape["fsdp"]
     repl = replicated(mesh)
+
+    if _is_multiprocess(mesh):
+        nproc = jax.process_count()
+        gr = global_rows
+
+        def put_mp(x):
+            x = np.asarray(x)
+            is_shard = (
+                x.ndim >= 1
+                and gr is not None
+                and x.shape[0] * nproc == gr
+                and gr % n == 0
+            )
+            return jax.make_array_from_process_local_data(
+                sh if is_shard else repl, x
+            )
+
+        return jax.tree_util.tree_map(put_mp, batch)
 
     def put(x):
         divisible = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0

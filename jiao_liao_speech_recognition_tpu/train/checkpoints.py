@@ -51,11 +51,20 @@ class TrainCheckpointer:
         self._ckpt = ocp.StandardCheckpointer()
 
     def save(self, step: int, state: Any, extra: Optional[Dict] = None) -> None:
+        """Save one step. Multi-host: the orbax array save is itself a
+        collective (every process writes its addressable shards, the primary
+        writes metadata); host-side extras and retention gc are primary-only,
+        fenced by barriers so no host reads/writes a dir mid-delete."""
+        from ..parallel import multihost as mh
+
         d = self.dir / f"{step:08d}"
         self._ckpt.save(d / "state", state, force=True)
         self._ckpt.wait_until_finished()
-        (d / "extra.json").write_text(json.dumps(extra or {}))
-        self._gc()
+        mh.barrier("ckpt_save")
+        if mh.is_primary():
+            (d / "extra.json").write_text(json.dumps(extra or {}))
+            self._gc()
+        mh.barrier("ckpt_gc")
 
     def latest_step(self) -> Optional[int]:
         steps = sorted(

@@ -367,6 +367,7 @@ def train_loop(
     Returns (state, info) with info = {"terminated": bool, "last_metrics": {}}.
     """
     from ..data.pipeline import BatchIterator, PrefetchIterator
+    from ..parallel import multihost as mh
     from ..parallel.mesh import build_mesh_for_batch, shard_batch, shard_state
     from .checkpoints import TrainCheckpointer
 
@@ -374,6 +375,10 @@ def train_loop(
         mesh = build_mesh_for_batch(config.mesh, config.data.batch_size)
     model, loss_fn, tx, jitted_step = build_train_setup(config, params, mesh)
     state = init_state(config, tx, params, config.train.seed)
+    # shard BEFORE restore: the sharded state is the restore template, so
+    # orbax restores each process's addressable shards directly (multi-host
+    # collective restore; no full-state host materialization — ZeRO holds)
+    state = shard_state(mesh, state)
 
     it = PrefetchIterator(
         BatchIterator(manifest, tokenizer, config.data),
@@ -387,9 +392,12 @@ def train_loop(
         if restored is not None:
             state, start_step = restored, step0
             it.load_state_dict(extra.get("data_iter", it.state_dict()))
-    state = shard_state(mesh, state)
 
-    own_logger = logger is None
+    # host-side IO (metrics, wandb) is primary-process-only — the DDP rank-0
+    # convention (SURVEY C19); compute runs identically on every process
+    own_logger = logger is None and mh.is_primary()
+    if not mh.is_primary():
+        logger = None
     if own_logger:
         logger = MetricsLogger(
             config.train.metrics_path, use_wandb=config.train.use_wandb
@@ -418,22 +426,30 @@ def train_loop(
         old_handler = signal.signal(signal.SIGTERM, _on_term)
     last_metrics: Dict[str, Any] = {}
     for step in range(start_step, total):
+        host_batch = next(it)
         batch = batch_to_device(
-            next(it), tokenizer, config.model_family, w_prompt, w_eot
+            host_batch, tokenizer, config.model_family, w_prompt, w_eot
         )
-        batch = shard_batch(mesh, batch)
+        batch = shard_batch(mesh, batch, global_rows=host_batch.global_rows)
         state, metrics = jitted_step(state, batch)
         last_metrics = metrics
-        if (step + 1) % config.train.log_every_steps == 0:
+        if logger is not None and (step + 1) % config.train.log_every_steps == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = config.train.log_every_steps / max(
                 time.time() - t0, 1e-9
             )
             t0 = time.time()
             logger.log(step + 1, **m)
-        if eval_manifest is not None and (step + 1) % config.train.eval_every_steps == 0:
+        if (
+            eval_manifest is not None
+            and mh.process_count() == 1  # mid-train transcribe-eval is a
+            # host-local path; under multi-host it would need a param
+            # allgather — run evaluate post-hoc from the checkpoint instead
+            and (step + 1) % config.train.eval_every_steps == 0
+        ):
             em = evaluate_manifest(config, state.params, tokenizer, eval_manifest)
-            logger.log(step + 1, **em)
+            if logger is not None:
+                logger.log(step + 1, **em)
             t0 = time.time()  # don't count eval time against steps/sec
         if (
             (step + 1) % config.train.checkpoint_every_steps == 0
@@ -442,7 +458,8 @@ def train_loop(
         ):
             ckpt.save(step + 1, state, {"data_iter": it.state_dict()})
         if terminated["flag"]:
-            logger.log(step + 1, event="sigterm_checkpoint_and_exit")
+            if logger is not None:
+                logger.log(step + 1, event="sigterm_checkpoint_and_exit")
             break
     if old_handler is not None:
         signal.signal(signal.SIGTERM, old_handler)

@@ -68,7 +68,15 @@ def run_stages(config: ExperimentConfig, params=None, tokenizer=None, resume: bo
 
     mesh = build_mesh_for_batch(config.mesh, config.data.batch_size)
     base_dir = Path(config.train.checkpoint_dir)
-    logger = MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
+    from ..parallel import multihost as mh
+
+    # stage-level metrics are primary-process-only under multi-host SPMD
+    # (train_loop itself also nulls non-primary loggers)
+    logger = (
+        MetricsLogger(config.train.metrics_path, use_wandb=config.train.use_wandb)
+        if mh.is_primary()
+        else None
+    )
     history = []
     for si, (stage, manifest) in enumerate(zip(config.stages, stage_manifests)):
         stage_cfg = dataclasses.replace(
@@ -87,9 +95,12 @@ def run_stages(config: ExperimentConfig, params=None, tokenizer=None, resume: bo
         )
         params = state.params
         history.append({"stage": stage.name, **info["last_metrics"]})
-        logger.log(stage.steps, stage=stage.name, stage_index=si, **info["last_metrics"])
+        if logger is not None:
+            logger.log(stage.steps, stage=stage.name, stage_index=si, **info["last_metrics"])
+            if info["terminated"]:
+                logger.log(stage.steps, event="sigterm_stage_exit", stage=stage.name)
         if info["terminated"]:
-            logger.log(stage.steps, event="sigterm_stage_exit", stage=stage.name)
             break
-    logger.close()
+    if logger is not None:
+        logger.close()
     return params, tokenizer, history
