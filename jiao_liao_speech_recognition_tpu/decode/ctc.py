@@ -291,9 +291,24 @@ def ctc_topk_posteriors(
 ):
     """Device-side pruning for the native beam: per frame, the top-k
     EXTENSION log-probs/ids (blank masked out) plus the blank log-prob.
-    Only [B,T,k]+[B,T] leaves the chip instead of the full [B,T,V] rows."""
+    Only [B,T,k]+[B,T] leaves the chip instead of the full [B,T,V] rows.
+
+    k << V uses lax.approx_max_k — the TPU-native aggregate reduction
+    (O(V) per frame) — instead of exact top_k, which lowers to a full
+    variadic sort of the vocab axis (minutes of runtime at the flagship's
+    [128, 750, 4336]). The top list is a PRUNING set, not a ranking: the
+    beam engine scores candidates itself, so a ~recall-0.99 proposal set is
+    semantically the same prune as exact top-k. k >= V-1 (the exactness
+    regime the parity tests run) stays exact top_k.
+    """
     lp_ext = log_probs.at[:, :, blank_id].set(-1e30)
-    top_vals, top_ids = jax.lax.top_k(lp_ext, k)
+    V = log_probs.shape[-1]
+    if k >= V - 1:
+        top_vals, top_ids = jax.lax.top_k(lp_ext, k)
+    else:
+        top_vals, top_ids = jax.lax.approx_max_k(
+            lp_ext, k, recall_target=0.99, aggregate_to_topk=True
+        )
     return top_vals, top_ids.astype(jnp.int32), log_probs[:, :, blank_id]
 
 

@@ -117,9 +117,12 @@ class AttAdapter(nn.Module):
         d = h.shape[-1]
         H, dk = self.cfg.att_num_heads, self.cfg.att_key_dim
         z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(h)
-        q = nn.Dense(H * dk, dtype=self.dtype, name="q_proj")(z)
-        k = nn.Dense(H * dk, dtype=self.dtype, name="k_proj")(z)
-        v = nn.Dense(H * dk, dtype=self.dtype, name="v_proj")(z)
+        # one merged projection instead of three d x (H*dk) slivers: a
+        # single [d, 3*H*dk] MXU matmul feeds q/k/v (the adapter's matmuls
+        # are small enough that launch + tiling overhead dominated as three
+        # separate ops — docs/PERFORMANCE.md round-3 training table)
+        qkv = nn.Dense(3 * H * dk, dtype=self.dtype, name="qkv_proj")(z)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         new_cache = None
         if kv_cache is not None:
             k = jax.lax.dynamic_update_slice(
@@ -133,11 +136,17 @@ class AttAdapter(nn.Module):
         Tk = k.shape[1]
         from .layers import dot_product_attention
 
+        # use_flash: the forward never materializes the [Tq, Tk] scores in
+        # HBM (ops/flash_attention.py pads dk to the 128-lane width); the
+        # custom_vjp backward differentiates the reference einsum, so
+        # training through the adapter stays exact while the forward —
+        # which runs once per step AND once per decode — goes blockwise
         out = dot_product_attention(
             q.reshape(B, Tq, H, dk),
             k.reshape(B, Tk, H, dk),
             v.reshape(B, Tk, H, dk),
             mask,
+            use_flash=True,
         )
         out = out.reshape(B, Tq, H * dk)
         out = nn.Dense(

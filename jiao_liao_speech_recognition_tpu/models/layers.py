@@ -269,7 +269,12 @@ class TransformerBlock(nn.Module):
             and self.use_flash
             and x.ndim == 3
             and x.shape[1] >= 64  # decode steps (Tq=1) would pad to BLOCK_T
-            and (self.d_model // self.num_heads) % 128 == 0
+            # dh=128k heads take the whole-D kernels; dh in {64,32,...} pack
+            # into 128-lane head groups (ops/fused_attention.py hsplit)
+            and (
+                (self.d_model // self.num_heads) % 128 == 0
+                or 128 % (self.d_model // self.num_heads) == 0
+            )
             # flash handles key-validity masks only; causal [.., T, T]
             # masks (decoder self-attention) take the module path
             and (
@@ -283,6 +288,8 @@ class TransformerBlock(nn.Module):
             # tests/test_fused_attention.py). Params were created by the
             # standard path during init; read them from the bound scope.
             from ..ops.fused_attention import (
+                attn_hsplit_fits_vmem,
+                attn_hsplit_supported,
                 attn_sublayer_fits_vmem,
                 fused_attention_sublayer,
             )
@@ -291,6 +298,7 @@ class TransformerBlock(nn.Module):
 
             p = self.variables["params"]
             sa = p["self_attn"]
+            dh = self.d_model // self.num_heads
             if mask is None:
                 kv_lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             else:
@@ -304,10 +312,17 @@ class TransformerBlock(nn.Module):
                 # (use_flash_attention=False).
                 m = jnp.broadcast_to(mask, (x.shape[0], 1, 1, x.shape[1]))
                 kv_lens = jnp.sum(m[:, 0, 0, :].astype(jnp.int32), axis=-1)
-            if attn_sublayer_fits_vmem(self.d_model, self.d_model, x.shape[1]):
+            if (
+                dh % 128 == 0
+                and attn_sublayer_fits_vmem(self.d_model, self.d_model, x.shape[1])
+            ) or (
+                attn_hsplit_supported(self.d_model, self.num_heads)
+                and attn_hsplit_fits_vmem(self.d_model, self.d_model, x.shape[1])
+            ):
                 # whole sublayer (LN -> q/k/v -> per-head softmax*V -> out
                 # projection -> residual) in two VMEM kernels: only k/v are
-                # materialized in HBM (every query tile needs all keys)
+                # materialized in HBM (every query tile needs all keys).
+                # The impl picks whole-D vs head-group-split by dh/VMEM.
                 x = fused_attention_sublayer(
                     x,
                     p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
@@ -402,9 +417,15 @@ class TransformerBlock(nn.Module):
             # kernel — neither the LN output nor the [B, T, mlp_dim] hidden
             # tensor touches HBM (ops/fused_mlp.py). Params were created by
             # the standard path during init; read them from the bound scope.
-            from ..ops.fused_mlp import fused_ln_mlp_residual, mlp_fits_vmem
+            from ..ops.fused_mlp import (
+                fused_ln_mlp_residual,
+                mlp_csplit_fits_vmem,
+                mlp_fits_vmem,
+            )
 
-            if mlp_fits_vmem(self.d_model, self.mlp_dim):
+            if mlp_fits_vmem(self.d_model, self.mlp_dim) or mlp_csplit_fits_vmem(
+                self.d_model, self.mlp_dim
+            ):
                 p = self.variables["params"]
                 x = fused_ln_mlp_residual(
                     x,

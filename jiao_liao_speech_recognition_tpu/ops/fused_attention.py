@@ -174,7 +174,15 @@ def fused_attention_sublayer(
 def _fused_attn_fwd_impl(x, g, bl, wq, bq, wk, wv, bv, wo, bo, kv_lengths, num_heads, eps):
     B, T, d = x.shape
     D = wq.shape[1]
-    if not attn_sublayer_fits_vmem(d, D, T):
+    dh = D // num_heads
+    whole_ok = dh % 128 == 0 and attn_sublayer_fits_vmem(d, D, T)
+    if not whole_ok:
+        # dh=64 heads (large-v3) and long-T/wide-D shapes: head-group-split
+        # kernel with bounded VMEM; else the XLA reference path
+        if attn_hsplit_supported(D, num_heads) and attn_hsplit_fits_vmem(d, D, T):
+            return _fused_attn_hsplit_impl(
+                x, g, bl, wq, bq, wk, wv, bv, wo, bo, kv_lengths, num_heads, eps
+            )
         return _attn_sublayer_reference(
             x, g, bl, wq, bq, wk, wv, bv, wo, bo, kv_lengths, num_heads, eps
         )
@@ -249,6 +257,216 @@ def _fused_attn_fwd_impl(x, g, bl, wq, bq, wk, wv, bv, wo, bo, kv_lengths, num_h
         lens, xp, gf, blf,
         wq.astype(jnp.bfloat16), bq.astype(jnp.bfloat16)[None, :],
         k, v,
+        wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16)[None, :],
+    )
+    return out[:, :T, :].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Head-group-split variant: dh=64 heads (whisper-large-v3: d=1280, H=20) and
+# long-T/wide-D cases where the resident-KV whole-D kernel exceeds VMEM.
+#
+# Heads are packed into 128-lane groups (G = 128//dh heads per group) and the
+# grid gains a head-group axis: (batch, query-tile, group), group fastest.
+# Per program only ONE group's K/V strip ([t_pad, 128]) and weight slices
+# (Wq[:,g], Wo[g,:]) are resident, so VMEM stays bounded for any D; the
+# out-projection partial sums accumulate across group steps in an f32 VMEM
+# scratch (persistent across sequential grid iterations) and the residual is
+# added on the last group. Per-head score/attend matmuls contract over dh
+# (64): Mosaic pads the MXU contraction — ~2x on the score matmuls only
+# (~9% of sublayer FLOPs at large-v3 shapes), a fair trade for fusing the
+# whole sublayer. KV is produced directly in [B, groups, t_pad, 128] layout
+# by _ln_kv_hsplit_kernel (no XLA transpose).
+# ---------------------------------------------------------------------------
+
+
+def _ln_kv_hsplit_kernel(
+    x_ref, g_ref, bl_ref, wk_ref, wv_ref, bv_ref, k_ref, v_ref, *, eps
+):
+    """One (batch, time-tile, head-group) program of the grouped KV
+    projection. wk/wv_ref: [d, gw] group slices; k/v_ref: [1,1,BLOCK_T,gw].
+    LN is recomputed per group (VPU-cheap next to the matmuls)."""
+    x = x_ref[0]
+    ln = _ln_f32(x, g_ref[0], bl_ref[0], eps).astype(x.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    k_ref[0, 0] = jax.lax.dot_general(
+        ln, wk_ref[...], dims, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    v_ref[0, 0] = jax.lax.dot_general(
+        ln, wv_ref[...], dims, preferred_element_type=jnp.float32
+    ).astype(x.dtype) + bv_ref[0]
+
+
+def _attn_sublayer_hsplit_kernel(
+    lens_ref,  # scalar prefetch: [B] int32 kv lengths
+    x_ref, g_ref, bl_ref, wq_ref, bq_ref, k_ref, v_ref, wo_ref, bo_ref,
+    out_ref, acc_ref, *, eps, heads_per_group, n_groups, t_pad
+):
+    """One (batch, query-tile, head-group) program.
+
+    x_ref: [1, BLOCK_T, d]; wq_ref: [d, gw] group slice; k/v_ref:
+    [1, 1, t_pad, gw] resident group strip; wo_ref: [gw, d] slice;
+    acc_ref: [BLOCK_T, d] f32 scratch accumulating the out projection
+    across group steps; out written on the last group.
+    """
+    b = pl.program_id(0)
+    hp = pl.program_id(2)
+    x = x_ref[0]
+    ln = _ln_f32(x, g_ref[0], bl_ref[0], eps).astype(x.dtype)
+    q = jax.lax.dot_general(
+        ln, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + bq_ref[0]  # [BLOCK_T, gw]
+
+    gw = q.shape[-1]
+    dh = gw // heads_per_group
+    scale = np.float32(1.0 / np.sqrt(dh))
+    kv_len = lens_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_T, t_pad), 1)
+    neg = jnp.finfo(jnp.float32).min
+    k_g = k_ref[0, 0]
+    v_g = v_ref[0, 0]
+
+    @pl.when(hp == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    o_parts = []
+    for h in range(heads_per_group):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k_g[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(col < kv_len, s, neg)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o_parts.append(
+            jax.lax.dot_general(
+                p.astype(x.dtype), v_g[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    o = o_parts[0] if len(o_parts) == 1 else jnp.concatenate(o_parts, axis=1)
+    acc_ref[...] += jax.lax.dot_general(
+        o, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(hp == n_groups - 1)
+    def _finish():
+        out_ref[0] = x + acc_ref[...].astype(x.dtype) + bo_ref[0]
+
+
+def _group_width(dh: int) -> int:
+    """Heads are packed into 128-lane groups; dh must divide 128."""
+    return 128
+
+
+def attn_hsplit_supported(D: int, num_heads: int) -> bool:
+    dh = D // num_heads
+    return dh <= 128 and 128 % dh == 0 and D % 128 == 0
+
+
+def attn_hsplit_fits_vmem(d: int, D: int, t_kv: int) -> bool:
+    t_pad = -(-t_kv // BLOCK_T) * BLOCK_T
+    gw = 128
+    tile = (
+        2 * 2 * 2 * (d * gw)               # double-buffered Wq + Wo slices
+        + 2 * 2 * 2 * t_pad * gw           # double-buffered k/v group strips
+        + 4 * BLOCK_T * t_pad              # f32 score tile
+        + 4 * BLOCK_T * d                  # f32 acc scratch
+        + 4 * BLOCK_T * d                  # f32 LN tile
+        + 2 * 2 * 2 * BLOCK_T * d          # double-buffered x/y bf16
+    )
+    return tile <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps"))
+def _fused_attn_hsplit_impl(
+    x, g, bl, wq, bq, wk, wv, bv, wo, bo, kv_lengths, num_heads, eps
+):
+    B, T, d = x.shape
+    D = wq.shape[1]
+    gw = _group_width(D // num_heads)
+    n_groups = D // gw
+    heads_per_group = gw // (D // num_heads)
+    t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
+    interpret = jax.default_backend() != "tpu"
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0))) if t_pad != T else x
+    xp = xp.astype(jnp.bfloat16)
+    gf = g.astype(jnp.float32)[None, :]
+    blf = bl.astype(jnp.float32)[None, :]
+    lens = jnp.minimum(kv_lengths.astype(jnp.int32), T)
+
+    kv_shp = jax.ShapeDtypeStruct((B, n_groups, t_pad, gw), jnp.bfloat16)
+    k4, v4 = pl.pallas_call(
+        functools.partial(_ln_kv_hsplit_kernel, eps=np.float32(eps)),
+        grid=(B, t_pad // BLOCK_T, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_T, d), lambda b, i, hp: (b, i, 0)),
+            pl.BlockSpec((1, d), lambda b, i, hp: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i, hp: (0, 0)),
+            pl.BlockSpec((d, gw), lambda b, i, hp: (0, hp)),
+            pl.BlockSpec((d, gw), lambda b, i, hp: (0, hp)),
+            pl.BlockSpec((1, gw), lambda b, i, hp: (0, hp)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLOCK_T, gw), lambda b, i, hp: (b, hp, i, 0)),
+            pl.BlockSpec((1, 1, BLOCK_T, gw), lambda b, i, hp: (b, hp, i, 0)),
+        ],
+        out_shape=[kv_shp, kv_shp],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * t_pad * d * D,
+            bytes_accessed=2 * (3 * B * t_pad * d + 2 * d * D),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xp, gf, blf,
+        wk.astype(jnp.bfloat16), wv.astype(jnp.bfloat16),
+        bv.astype(jnp.bfloat16)[None, :],
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, t_pad // BLOCK_T, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_T, d), lambda b, i, hp, lens: (b, i, 0)),
+            pl.BlockSpec((1, d), lambda b, i, hp, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i, hp, lens: (0, 0)),
+            pl.BlockSpec((d, gw), lambda b, i, hp, lens: (0, hp)),
+            pl.BlockSpec((1, gw), lambda b, i, hp, lens: (0, hp)),
+            pl.BlockSpec((1, 1, t_pad, gw), lambda b, i, hp, lens: (b, hp, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, gw), lambda b, i, hp, lens: (b, hp, 0, 0)),
+            pl.BlockSpec((gw, d), lambda b, i, hp, lens: (hp, 0)),
+            pl.BlockSpec((1, d), lambda b, i, hp, lens: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_T, d), lambda b, i, hp, lens: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((BLOCK_T, d), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_sublayer_hsplit_kernel,
+            eps=np.float32(eps),
+            heads_per_group=heads_per_group,
+            n_groups=n_groups,
+            t_pad=t_pad,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, d), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * d * D + 4 * B * t_pad * t_pad * D
+            + 2 * B * t_pad * D * d,
+            bytes_accessed=2 * (2 * B * t_pad * d + 2 * B * t_pad * D),
+            transcendentals=B * t_pad * t_pad * num_heads,
+        ),
+        interpret=interpret,
+    )(
+        lens, xp, gf, blf,
+        wq.astype(jnp.bfloat16), bq.astype(jnp.bfloat16)[None, :],
+        k4, v4,
         wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16)[None, :],
     )
     return out[:, :T, :].astype(x.dtype)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_T = 256
 # weights + hidden tile + double-buffered x/y tiles must fit in ~16 MB VMEM
@@ -152,6 +153,9 @@ def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps):
     B, T, d = x.shape
     mlp = w1.shape[1]
     if not mlp_fits_vmem(d, mlp):
+        # wide MLPs (large-v3: d=1280, mlp=5120): hidden-chunk-split kernel
+        if mlp_csplit_fits_vmem(d, mlp):
+            return _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps)
         return _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps)
     t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
     interpret = jax.default_backend() != "tpu"
@@ -184,6 +188,108 @@ def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps):
         ),
         interpret=interpret,
     )(xp, gf, blf, w1b, b1b, w2b, b2b)
+    return out[:, :T, :].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hidden-chunk-split LN+MLP+residual: wide-MLP shapes (whisper-large-v3:
+# d=1280, mlp=5120) whose resident fc1/fc2 weights exceed VMEM. The hidden
+# axis is cut into chunks; gelu distributes over the cut, and
+# y = x + sum_c fc2_c(gelu(fc1_c(LN(x)))) accumulates across chunk grid
+# steps in an f32 VMEM scratch (grid (batch, time-tile, chunk), chunk
+# fastest). LN is recomputed per chunk — VPU-cheap next to the matmuls.
+# ---------------------------------------------------------------------------
+
+MLP_CHUNK = 512
+
+
+def _ln_mlp_csplit_kernel(
+    x_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref,
+    *, eps, n_chunks
+):
+    c = pl.program_id(2)
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (xc * jax.lax.rsqrt(var + eps)) * g_ref[0] + bl_ref[0]
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = jax.lax.dot_general(
+        ln.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b1_ref[0]
+    h = _erf_gelu_f32(h.astype(jnp.float32)).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        # b2 does not distribute over chunks: added once at the end
+        out_ref[0] = x + acc_ref[...].astype(x.dtype) + b2_ref[0]
+
+
+def mlp_csplit_fits_vmem(d: int, mlp: int, chunk: int = MLP_CHUNK) -> bool:
+    if mlp % chunk != 0:
+        return False
+    tile = (
+        2 * 2 * 2 * (d * chunk)          # double-buffered fc1/fc2 chunk weights
+        + 4 * BLOCK_T * chunk            # f32 hidden tile
+        + 4 * BLOCK_T * d                # f32 acc scratch
+        + 4 * BLOCK_T * d                # f32 LN tile
+        + 2 * 2 * 2 * BLOCK_T * d        # double-buffered bf16 x/y tiles
+    )
+    return tile <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps):
+    B, T, d = x.shape
+    mlp = w1.shape[1]
+    chunk = MLP_CHUNK
+    n_chunks = mlp // chunk
+    t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
+    interpret = jax.default_backend() != "tpu"
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0))) if t_pad != T else x
+    xp = xp.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_mlp_csplit_kernel, eps=np.float32(eps), n_chunks=n_chunks
+        ),
+        grid=(B, t_pad // BLOCK_T, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_T, d), lambda b, i, c: (b, i, 0)),
+            pl.BlockSpec((1, d), lambda b, i, c: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, i, c: (0, 0)),
+            pl.BlockSpec((d, chunk), lambda b, i, c: (0, c)),
+            pl.BlockSpec((1, chunk), lambda b, i, c: (0, c)),
+            pl.BlockSpec((chunk, d), lambda b, i, c: (c, 0)),
+            pl.BlockSpec((1, d), lambda b, i, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_T, d), lambda b, i, c: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, d), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((BLOCK_T, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * t_pad * d * mlp,
+            bytes_accessed=2 * (2 * B * t_pad * d + 2 * d * mlp),
+            transcendentals=B * t_pad * mlp,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        g.astype(jnp.float32)[None, :],
+        bl.astype(jnp.float32)[None, :],
+        w1.astype(jnp.bfloat16),
+        b1.astype(jnp.bfloat16)[None, :],
+        w2.astype(jnp.bfloat16),
+        b2.astype(jnp.bfloat16)[None, :],
+    )
     return out[:, :T, :].astype(x.dtype)
 
 

@@ -47,6 +47,47 @@ def test_fused_attention_sublayer_multihead():
     )
 
 
+def test_hsplit_matches_reference_dh64():
+    """dh=64 heads (the whisper-large-v3 shape class) route through the
+    head-group-split kernel: 2 heads packed per 128-lane group, out
+    projection accumulated across group steps in f32 scratch."""
+    args = _inputs(B=2, T=80, d=256, D=256, seed=4)
+    got = fa._fused_attn_hsplit_impl(*args, num_heads=4, eps=1e-5)
+    want = fa._attn_sublayer_reference(*args, num_heads=4, eps=1e-5)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_hsplit_dispatch_from_entry_point():
+    """fused_attention_sublayer itself must route dh=64 shapes to the
+    hsplit kernel (not the XLA reference): monkeypatch-free check via the
+    support predicates + end-to-end value parity."""
+    args = _inputs(B=2, T=80, d=256, D=256, seed=5)
+    assert fa.attn_hsplit_supported(256, 4)
+    assert fa.attn_hsplit_fits_vmem(256, 256, 80)
+    got = fa.fused_attention_sublayer(*args, num_heads=4)
+    want = fa._attn_sublayer_reference(*args, num_heads=4, eps=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_hsplit_multiple_groups_ragged_lengths():
+    """4 head groups (D=512, dh=64) with ragged kv lengths: the group-step
+    accumulation must respect per-example masking identically."""
+    args = _inputs(B=3, T=96, d=128, D=512, seed=6)
+    got = fa._fused_attn_hsplit_impl(*args, num_heads=8, eps=1e-5)
+    want = fa._attn_sublayer_reference(*args, num_heads=8, eps=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
 def test_fused_attention_vmem_fallback(monkeypatch):
     monkeypatch.setattr(fa, "_VMEM_BUDGET_BYTES", 0)
     args = _inputs(seed=3)

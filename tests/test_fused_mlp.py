@@ -77,6 +77,32 @@ def test_fused_ln_mlp_residual_matches_flax_block_numerics():
     )
 
 
+def test_csplit_mlp_matches_reference():
+    """Hidden-chunk-split kernel (wide-MLP shapes, e.g. large-v3 5120):
+    chunk accumulation in f32 scratch must match the whole-MLP reference."""
+    x, g, bl, w1, b1, w2, b2 = _mlp_inputs(B=2, T=96, d=128, mlp=1024, seed=9)
+    got = fm._fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, 1e-5)
+    want = fm._ln_mlp_reference(x, g, bl, w1, b1, w2, b2, 1e-5)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_csplit_dispatch_when_whole_mlp_too_wide(monkeypatch):
+    """When the resident whole-MLP weights exceed VMEM but the chunk split
+    fits, the entry point must route to the csplit kernel, not XLA."""
+    x, g, bl, w1, b1, w2, b2 = _mlp_inputs(B=1, T=64, d=128, mlp=1024, seed=10)
+    assert fm.mlp_csplit_fits_vmem(128, 1024)
+    monkeypatch.setattr(fm, "mlp_fits_vmem", lambda d, m: False)
+    got = fm._fused_ln_mlp_fwd_impl.__wrapped__(x, g, bl, w1, b1, w2, b2, 1e-5)
+    want = fm._fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, 1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
 def test_fused_ln_mlp_vmem_fallback(monkeypatch):
     monkeypatch.setattr(fm, "_VMEM_BUDGET_BYTES", 0)
     x, g, bl, w1, b1, w2, b2 = _mlp_inputs(seed=1)

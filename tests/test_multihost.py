@@ -72,6 +72,53 @@ def _run(workdir: str, nproc: int, resume: bool = False) -> dict:
     return results
 
 
+def test_batch_iterator_local_slices_partition_global_batch(tmp_path):
+    """Fast (no subprocesses): iterators constructed with explicit
+    (process_index, process_count) must produce row slices that concatenate
+    exactly to the single-process batch, with identical global iterator
+    state."""
+    from jiao_liao_speech_recognition_tpu.data.manifest import read_manifest
+    from jiao_liao_speech_recognition_tpu.data.pipeline import BatchIterator
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.utils.config import DataConfig
+
+    _make_corpus(str(tmp_path), n=12)
+    manifest = read_manifest(os.path.join(str(tmp_path), "train.jsonl"))
+    tok = CharTokenizer.build([r.text for r in manifest.rows])
+    cfg = DataConfig(batch_size=4, bucket_boundaries_seconds=[2.0], max_text_len=8)
+
+    whole = BatchIterator(manifest, tok, cfg, process_index=0, process_count=1)
+    p0 = BatchIterator(manifest, tok, cfg, process_index=0, process_count=2)
+    p1 = BatchIterator(manifest, tok, cfg, process_index=1, process_count=2)
+
+    for _ in range(5):
+        bw, b0, b1 = next(whole), next(p0), next(p1)
+        assert bw.global_rows == b0.global_rows == b1.global_rows == 4
+        assert len(b0.audio) == len(b1.audio) == 2
+        np.testing.assert_array_equal(
+            bw.audio, np.concatenate([b0.audio, b1.audio], axis=0)
+        )
+        np.testing.assert_array_equal(
+            bw.labels, np.concatenate([b0.labels, b1.labels], axis=0)
+        )
+        assert bw.texts == b0.texts + b1.texts
+        assert whole.state_dict() == p0.state_dict() == p1.state_dict()
+
+
+def test_batch_iterator_rejects_indivisible_process_count(tmp_path):
+    from jiao_liao_speech_recognition_tpu.data.manifest import read_manifest
+    from jiao_liao_speech_recognition_tpu.data.pipeline import BatchIterator
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.utils.config import DataConfig
+
+    _make_corpus(str(tmp_path), n=6)
+    manifest = read_manifest(os.path.join(str(tmp_path), "train.jsonl"))
+    tok = CharTokenizer.build([r.text for r in manifest.rows])
+    cfg = DataConfig(batch_size=3, bucket_boundaries_seconds=[2.0], max_text_len=8)
+    with pytest.raises(ValueError, match="divide"):
+        BatchIterator(manifest, tok, cfg, process_index=0, process_count=2)
+
+
 @pytest.mark.heavy
 def test_two_process_matches_single_process(tmp_path):
     workdir = str(tmp_path)
