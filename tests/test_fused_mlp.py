@@ -217,6 +217,29 @@ def test_transformer_block_fused_sublayers_parity_when_forced(monkeypatch):
     )
 
 
+def test_transformer_block_fused_sublayers_parity_dh64(monkeypatch):
+    """Same forced-path block parity at dh=64 (whisper-tiny/large-v3 head
+    shape): attention routes through the head-group-split kernel."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    B, T, d, H, mlp_dim = 2, 80, 256, 4, 512
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(B, T, d).astype(np.float32), jnp.bfloat16)
+    lens = jnp.asarray([T, 60], jnp.int32)
+    mask = L.length_mask(lens, T)
+
+    blk = L.TransformerBlock(d, H, mlp_dim, jnp.bfloat16, 0.0, None, use_flash=True)
+    params = blk.init(jax.random.PRNGKey(0), x, mask=mask)["params"]
+    want = blk.apply({"params": params}, x, mask=mask)
+
+    monkeypatch.setattr(L, "_on_tpu", lambda: True)
+    got = blk.apply({"params": params}, x, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
 def test_transformer_block_fused_path_not_used_in_training(monkeypatch):
     """deterministic=False (training) must take the module path even when
     the TPU gate is forced on: gradients flow through the standard flax
