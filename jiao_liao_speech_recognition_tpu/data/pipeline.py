@@ -222,10 +222,14 @@ class PrefetchIterator:
         self._stop = threading.Event()
 
         def worker():
-            while not self._stop.is_set():
-                batch = next(self.inner)
-                state = self.inner.state_dict()  # state AFTER producing batch
-                self._queue.put((batch, state))
+            try:
+                while not self._stop.is_set():
+                    batch = next(self.inner)
+                    state = self.inner.state_dict()  # state AFTER producing batch
+                    self._queue.put((batch, state))
+            except BaseException as e:  # propagate instead of hanging the
+                # trainer forever on queue.get (e.g. an unreadable wav file)
+                self._queue.put((None, e))
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -236,6 +240,8 @@ class PrefetchIterator:
     def __next__(self) -> Batch:
         self._ensure_started()
         batch, state = self._queue.get()
+        if batch is None:
+            raise RuntimeError("prefetch worker died") from state
         self._consumed_state = state
         return batch
 

@@ -144,3 +144,34 @@ def test_config_yaml_roundtrip_and_overrides(tmp_path):
 
     with _pytest.raises(KeyError):
         apply_overrides(cfg, ["train.optimizzer.lr=1"])
+
+
+def test_prefetch_propagates_worker_exception(tmp_path):
+    """A dead prefetch worker (unreadable audio) must raise in the trainer
+    thread, not hang the queue forever."""
+    import numpy as np
+    import pytest
+
+    from jiao_liao_speech_recognition_tpu.data.manifest import (
+        Manifest,
+        ManifestRow,
+    )
+    from jiao_liao_speech_recognition_tpu.data.pipeline import (
+        BatchIterator,
+        PrefetchIterator,
+    )
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.utils.config import DataConfig
+
+    rows = [
+        ManifestRow(audio=str(tmp_path / "missing.wav"), text="你好", duration=1.0)
+    ]
+    cfg = DataConfig(batch_size=1, bucket_boundaries_seconds=[2.0], max_text_len=4)
+    it = PrefetchIterator(
+        BatchIterator(
+            Manifest(rows), CharTokenizer.build(["你好"]), cfg,
+            drop_last=False, process_index=0, process_count=1,
+        )
+    )
+    with pytest.raises(RuntimeError, match="prefetch worker died"):
+        next(it)

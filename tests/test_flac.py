@@ -1,6 +1,17 @@
 """Native FLAC decoder (native/flacio.cpp) against the independent
 bit-format writer in tests/flacgen.py — every subframe type, every stereo
-decorrelation mode, multi-frame streams, and the read_audio dispatch."""
+decorrelation mode, multi-frame streams, and the read_audio dispatch.
+
+KNOWN LIMITATION (review finding, round 2): every fixture here is encoded
+by tests/flacgen.py, written expressly to test the decoder — a shared
+misreading of the FLAC spec would pass. An externally-encoded fixture
+(libFLAC/ffmpeg bytes) would close that hole, but this environment has no
+FLAC encoder and no network (soundfile/ffmpeg absent; zero egress —
+verified each round). flacgen.py mitigates by being a bit-level writer
+built directly from the format spec (frame headers, UTF-8 frame numbers,
+rice partitions, CRC8/16) sharing no code or structure with the decoder.
+If an externally-encoded .flac ever lands in tests/fixtures/, add it to
+test_mono_subframe_kinds-style assertions first."""
 
 import numpy as np
 import pytest
