@@ -304,12 +304,26 @@ def ctc_topk_posteriors(
     lp_ext = log_probs.at[:, :, blank_id].set(-1e30)
     V = log_probs.shape[-1]
     if k >= V - 1:
+        # exactness regime (parity tests): full-precision exact top-k
         top_vals, top_ids = jax.lax.top_k(lp_ext, k)
+        return top_vals, top_ids.astype(jnp.int32), log_probs[:, :, blank_id]
+    top_vals, top_ids = jax.lax.approx_max_k(
+        lp_ext, k, recall_target=0.99, aggregate_to_topk=True
+    )
+    # Compact transfer dtypes: the device->host link is the beam pipeline's
+    # bottleneck (~25 MB/s through the remote relay — docs/PERFORMANCE.md
+    # chip characterization). f16 keeps ~3 decimal digits on log-probs in
+    # [-30, 0] — noise relative to the pruning already applied — and int16
+    # ids cover any vocab < 32768; the host widens both before the C engine.
+    if V < 32768:
+        top_ids = top_ids.astype(jnp.int16)
     else:
-        top_vals, top_ids = jax.lax.approx_max_k(
-            lp_ext, k, recall_target=0.99, aggregate_to_topk=True
-        )
-    return top_vals, top_ids.astype(jnp.int32), log_probs[:, :, blank_id]
+        top_ids = top_ids.astype(jnp.int32)
+    return (
+        top_vals.astype(jnp.float16),
+        top_ids,
+        log_probs[:, :, blank_id].astype(jnp.float16),
+    )
 
 
 def ctc_prefix_beam_search_native(

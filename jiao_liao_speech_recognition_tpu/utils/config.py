@@ -235,8 +235,10 @@ class DecodeConfig:
     strategy: str = "greedy"
     beam_size: int = 8
     # per-frame proposal-set width for CTC prefix beam (host, native C++,
-    # and device searchers); >= vocab-1 makes the pruned searchers exact
-    beam_topk: int = 64
+    # and device searchers); >= vocab-1 makes the pruned searchers exact.
+    # 16 is the usual CTC-beam pruning width; it also bounds the
+    # device->host posterior transfer, the pipeline's bottleneck link
+    beam_topk: int = 16
     ctc_blank_id: int = 0
     max_decode_len: int = 224  # Whisper AR decode cap
     length_penalty: float = 1.0

@@ -51,11 +51,16 @@ def pytest_configure(config):
     cxx = os.environ.get("CXX", "g++")
     if shutil.which(cxx) is None:
         return  # no toolchain: native tests fall back to their own skips
-    r = subprocess.run(
-        ["make", "-C", os.path.join(root, "native")],
-        capture_output=True,
-        text=True,
-    )
+    # serialize across pytest-xdist workers: every worker runs this hook,
+    # and concurrent `make` invocations race on the .so outputs
+    import fcntl
+
+    native_dir = os.path.join(root, "native")
+    with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        r = subprocess.run(
+            ["make", "-C", native_dir], capture_output=True, text=True
+        )
     if r.returncode != 0:
         raise pytest.UsageError(
             f"native build failed (rc={r.returncode}):\n{r.stdout}\n{r.stderr}"
