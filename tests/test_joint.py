@@ -56,6 +56,7 @@ def test_joint_forward_shapes():
     assert int(out_lens[0]) == 64 // cfg.subsample_factor
 
 
+@pytest.mark.heavy
 def test_joint_decode_step_matches_teacher_forced():
     """Incremental KV-cached decode must reproduce teacher-forced logits —
     the AttAdapter-parity discipline (ADVICE r1) applied to the new family."""

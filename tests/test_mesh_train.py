@@ -20,6 +20,10 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+
+# the slowest module in the suite (~2.5 min of XLA:CPU mesh compiles);
+# run with JL_HEAVY=1 / -m heavy before committing parallel/train changes
+pytestmark = pytest.mark.heavy
 from jax.sharding import PartitionSpec as P
 
 from jiao_liao_speech_recognition_tpu.data import CharTokenizer, Manifest, ManifestRow

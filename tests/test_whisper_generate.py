@@ -51,6 +51,7 @@ def _reference_greedy(model, params, mel, max_len):
     return toks
 
 
+@pytest.mark.heavy
 def test_greedy_matches_teacher_forced_loop(model_and_params, rng):
     model, params = model_and_params
     mel = jnp.asarray(rng.randn(2, 80, 60).astype(np.float32) * 0.3)
