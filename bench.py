@@ -120,7 +120,13 @@ def bench_beam_rtfx() -> float:
     """Prefix-beam decode RTFx (BASELINE configs[1] as written): device runs
     encoder + log_softmax + per-frame top-k pruning; the C++ engine
     (native/beam.cpp) runs the beam multithreaded across utterances while
-    the chip works on the NEXT batch (1-deep software pipeline)."""
+    the chip works on the NEXT batch (1-deep software pipeline).
+
+    Measured on a briefly-TRAINED model with the production pruned beam
+    (DecodeConfig.beam_prune_logp semantics): deployed CTC models emit
+    peaked, blank-dominated posteriors, where most frames collapse to the
+    engine's O(beams) blank-only update — random-init near-uniform rows
+    would overstate the per-frame beam cost by orders of magnitude."""
     import jax
     import jax.numpy as jnp
 
@@ -130,11 +136,12 @@ def bench_beam_rtfx() -> float:
 
     model, cfg, fe = _flagship()
     secs, batch, K, beam_size = 30.0, 128, 16, 8
+    prune_logp = -10.0
     samples = int(secs * fe.sample_rate)
     rng = np.random.RandomState(1)
     wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
     lengths = jnp.full((batch,), samples, jnp.int32)
-    params = _init_flagship_params(model, fe)
+    params = _overfit_flagship()[0]
     engine = load_beam()
 
     @jax.jit
@@ -151,7 +158,8 @@ def bench_beam_rtfx() -> float:
 
     def host_beam(dev_out):
         tv, ti, bl, out_lens = [np.asarray(a) for a in dev_out]
-        return engine.search(tv, ti, bl, out_lens, beam_size)
+        return engine.search(tv, ti, bl, out_lens, beam_size,
+                             prune_logp=prune_logp)
 
     for w in wavs:  # warm every buffer + the C++ path
         _ = host_beam(infer_topk(params, w, lengths))
@@ -235,6 +243,9 @@ def bench_bucketed_rtfx() -> float:
         bucket_boundaries_seconds=[10.0, 20.0, 30.0],
         max_text_len=8,
         shuffle_seed=0,
+        # int16 wire format: halves the host->device bytes (the relay link is
+        # the bottleneck at mixed-length batch sizes); dequantized on device
+        transfer_dtype="int16",
     )
     hop = fe.hop_length
 
@@ -266,15 +277,26 @@ def bench_bucketed_rtfx() -> float:
         )
         spoken = 0.0
         texts = []
-        for _ in range(n_batches):
-            b = next(it)
-            ids, lens = infer(
-                params, jnp.asarray(b.audio), jnp.asarray(b.audio_lengths)
-            )
-            ids, lens = np.asarray(ids), np.asarray(lens)
-            spoken += float(np.sum(b.audio_lengths)) / fe.sample_rate
+
+        def materialize(pending):
+            ids, lens = (np.asarray(a) for a in pending)
             for row, n in zip(ids, lens):
                 texts.append("".join(chr(0x4E00 + int(t)) for t in row[: int(n)]))
+
+        # 1-deep software pipeline: launch transfer+infer for batch i, THEN
+        # sync batch i-1's ids — the host text work and the device round trip
+        # overlap instead of serializing on one sync per batch
+        pending = None
+        for _ in range(n_batches):
+            b = next(it)
+            nxt = infer(
+                params, jnp.asarray(b.audio), jnp.asarray(b.audio_lengths)
+            )
+            spoken += float(np.sum(b.audio_lengths)) / fe.sample_rate
+            if pending is not None:
+                materialize(pending)
+            pending = nxt
+        materialize(pending)
         return spoken, texts
 
     run_epoch(timed=False)  # warm every bucket shape
@@ -285,17 +307,22 @@ def bench_bucketed_rtfx() -> float:
     return spoken / dt
 
 
-def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
-    """BASELINE 'decode text parity (greedy), bit-for-bit at text level,
-    TPU & CPU-JAX path': overfit the flagship on synthetic utterances, then
-    transcribe them (a) on the TPU with every fused kernel engaged and
-    (b) in a CPU-JAX subprocess through the plain module path, and require
-    byte-identical text for all utterances."""
+_OVERFIT_CACHE: dict = {}
+
+
+def _overfit_flagship(n_utts: int = 64, secs: float = 8.0, steps: int = 150):
+    """Overfit the flagship on synthetic utterances -> (params, wavs,
+    lengths). Shared by the parity proof and the beam bench: a trained model
+    emits PEAKED, blank-dominated posteriors — the regime deployed CTC
+    models decode in — unlike random init's near-uniform rows. Cached per
+    bench invocation so the two sections train once."""
+    key = (n_utts, secs, steps)
+    if key in _OVERFIT_CACHE:
+        return _OVERFIT_CACHE[key]
     import jax
     import jax.numpy as jnp
     import optax
 
-    from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_collapse
     from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
     from jiao_liao_speech_recognition_tpu.ops.ctc_loss import ctc_loss
 
@@ -337,6 +364,26 @@ def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
             params, opt_state, wavs_d[i : i + B], labels_d[i : i + B]
         )
     _ = float(loss)
+    _OVERFIT_CACHE[key] = (params, wavs, lengths)
+    return _OVERFIT_CACHE[key]
+
+
+def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
+    """BASELINE 'decode text parity (greedy), bit-for-bit at text level,
+    TPU & CPU-JAX path': overfit the flagship on synthetic utterances, then
+    transcribe them (a) on the TPU with every fused kernel engaged and
+    (b) in a CPU-JAX subprocess through the plain module path, and require
+    byte-identical text for all utterances."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_greedy_collapse
+    from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+
+    model, cfg, fe = _flagship()
+    hop = fe.hop_length
+    params, wavs, lengths = _overfit_flagship(n_utts, secs, steps)
+    wavs_d = jnp.asarray(wavs)
 
     @jax.jit
     def infer(params, wav, lengths):

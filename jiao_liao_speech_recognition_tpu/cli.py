@@ -58,12 +58,22 @@ def _train_body(args, cfg, fine_tune, run_stages) -> int:
 
 
 def cmd_transcribe(args) -> int:
+    import dataclasses
+
     from .api import load, transcribe
     from .utils.profiling import trace
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
+    decode_cfg = bundle.config.decode
+    if args.strategy or args.beam_size is not None:
+        decode_cfg = dataclasses.replace(
+            decode_cfg,
+            strategy=args.strategy or decode_cfg.strategy,
+            beam_size=args.beam_size if args.beam_size is not None
+            else decode_cfg.beam_size,
+        )
     with trace(getattr(args, "profile", None)):
-        texts = transcribe(bundle, args.audio)
+        texts = transcribe(bundle, args.audio, decode_cfg=decode_cfg)
     for path, text in zip(args.audio, texts):
         print(json.dumps({"audio": path, "text": text}, ensure_ascii=False))
     return 0
@@ -235,6 +245,11 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint")
     pr.add_argument("--config")
     pr.add_argument("--profile", metavar="LOGDIR", help="write an xprof trace")
+    pr.add_argument(
+        "--strategy", choices=["greedy", "beam", "beam_device", "ctc_greedy"],
+        help="decode strategy override (default: the bundle's config)",
+    )
+    pr.add_argument("--beam-size", type=int, default=None)
     pr.set_defaults(fn=cmd_transcribe)
 
     pe = sub.add_parser("evaluate", help="CER/WER on a manifest")

@@ -32,7 +32,7 @@ class Batch:
     len(audio) single-process) so parallel.mesh.shard_batch knows whether
     it is assembling a global array from local shards or replicating."""
 
-    audio: np.ndarray  # [B_local, samples] float32
+    audio: np.ndarray  # [B_local, samples] float32 (or int16 wire format)
     audio_lengths: np.ndarray  # [B_local] int32 valid samples
     labels: np.ndarray  # [B_local, S] int32
     label_lengths: np.ndarray  # [B_local] int32
@@ -91,6 +91,11 @@ class BatchIterator:
             raise ValueError(
                 f"batch_size={cfg.batch_size} must divide evenly over "
                 f"{self.process_count} processes"
+            )
+        if cfg.transfer_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"transfer_dtype must be 'float32' or 'int16', got "
+                f"{cfg.transfer_dtype!r}"
             )
         self.epoch = 0
         self.cursor = 0
@@ -172,7 +177,8 @@ class BatchIterator:
         # else (ragged tiny-corpus batch): every host collates the full
         # batch; shard_batch replicates it — correct, just not DP-split
         B = len(rows)
-        audio = np.zeros((B, samples), np.float32)
+        int16_wire = self.cfg.transfer_dtype == "int16"
+        audio = np.zeros((B, samples), np.int16 if int16_wire else np.float32)
         alen = np.zeros((B,), np.int32)
         labels = np.zeros((B, self.cfg.max_text_len), np.int32)
         llen = np.zeros((B,), np.int32)
@@ -184,7 +190,14 @@ class BatchIterator:
 
                 pcm = np.asarray(resample(jnp.asarray(pcm), sr, self.sample_rate))
             m = min(len(pcm), samples)
-            audio[i, :m] = pcm[:m]
+            if int16_wire:
+                # exact roundtrip for 16-bit sources (f32 was i/32768, so
+                # rint(f32*32768) == i); <=1 lsb quantization otherwise
+                audio[i, :m] = np.clip(
+                    np.rint(pcm[:m] * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            else:
+                audio[i, :m] = pcm[:m]
             alen[i] = m
             ids = self.tokenizer.encode(r.text)[: self.cfg.max_text_len]
             labels[i, : len(ids)] = ids

@@ -333,12 +333,17 @@ def ctc_prefix_beam_search_native(
     blank_id: int = 0,
     topk_tokens: int = 64,
     n_threads: int = 0,
+    prune_logp: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """CTC prefix beam search via the C++ engine (native/beam.cpp),
     multithreaded across utterances over device-pruned top-k posteriors.
 
     Same merge semantics as ctc_prefix_beam_search_host; exact when
-    topk_tokens >= V-1 (the parity test runs that config). The repeat-last
+    topk_tokens >= V-1 and prune_logp >= 0 (the parity test runs that
+    config). prune_logp < 0 drops per-frame candidates more than
+    |prune_logp| nats below the frame's best mass (pruned prefix beam) —
+    on peaked trained posteriors most frames collapse to an O(beams)
+    blank-only update. The repeat-last
     expansion reads lp[last] from the frame's pruned list (absent -> -inf),
     which coincides with the host searcher whenever the beam's last token is
     inside the frame's top-k — always true for tokens the pruned proposal
@@ -358,6 +363,7 @@ def ctc_prefix_beam_search_native(
         np.asarray(lengths),
         beam_size,
         n_threads,
+        prune_logp,
     )
 
 

@@ -267,15 +267,26 @@ def _cmvn_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return load_cmvn(path)
 
 
+def dequantize_pcm(wav: jnp.ndarray) -> jnp.ndarray:
+    """int16 wire-format audio (DataConfig.transfer_dtype='int16') -> float32
+    in [-1, 1). Division by 2^15 is exact, so this matches the host decoder's
+    i/32768 bit-for-bit; float input passes through untouched."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    return wav
+
+
 def featurize_batch(wav: jnp.ndarray, cfg: Optional[FrontendConfig] = None) -> jnp.ndarray:
     """Featurize a padded batch [B, chunk_samples] -> [B, mels, frames].
 
     The jit boundary for the on-device frontend; chooses the fused Pallas
-    kernel on TPU and the XLA conv path elsewhere. cmvn="global" applies
+    kernel on TPU and the XLA conv path elsewhere. Accepts float32 PCM or
+    int16 wire-format audio (dequantized on device). cmvn="global" applies
     corpus stats from cfg.cmvn_stats_path (a trace-time constant, so this
     stays jit-safe) and fails loudly when the stats are missing.
     """
     cfg = cfg or FrontendConfig()
+    wav = dequantize_pcm(wav)
     if cfg.cmvn not in ("none", "utterance", "global"):
         raise ValueError(f"unknown cmvn mode {cfg.cmvn!r}")
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"

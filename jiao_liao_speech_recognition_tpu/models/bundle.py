@@ -422,6 +422,7 @@ class ModelBundle:
                     log_probs, out_lens,
                     decode_cfg.beam_size, decode_cfg.ctc_blank_id,
                     topk_tokens=decode_cfg.beam_topk,
+                    prune_logp=decode_cfg.beam_prune_logp,
                 )
             else:
                 # python host beam: zero native deps + external-LM fusion

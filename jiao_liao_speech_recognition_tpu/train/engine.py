@@ -29,7 +29,7 @@ from ..utils.config import ExperimentConfig, OptimizerConfig
 from ..utils.logging import MetricsLogger
 from ..models.adapters import param_is_adapter
 from ..ops.ctc_loss import ctc_loss
-from ..frontend.features import featurize_batch
+from ..frontend.features import dequantize_pcm, featurize_batch
 from ..frontend.specaugment import spec_augment
 from ..frontend.augment import augment_waveform
 
@@ -111,7 +111,7 @@ def make_ctc_loss_fn(config: ExperimentConfig, model) -> Callable:
     fe = config.frontend
 
     def loss_fn(params, batch, rng, train: bool):
-        audio = batch["audio"]
+        audio = dequantize_pcm(batch["audio"])  # int16 wire format ok
         k_aug, k_spec, k_drop = jax.random.split(rng, 3)
         if train and config.augment.enabled:
             audio = augment_waveform(k_aug, audio, config.augment)
@@ -143,7 +143,7 @@ def make_whisper_loss_fn(config: ExperimentConfig, model) -> Callable:
 
     def loss_fn(params, batch, rng, train: bool):
         k_spec, k_drop = jax.random.split(rng)
-        feats = featurize_batch(batch["audio"], fe)
+        feats = featurize_batch(batch["audio"], fe)  # handles int16 wire
         if train and config.specaugment.enabled:
             feats = spec_augment(k_spec, feats, config.specaugment)
         tokens = batch["tokens"]  # [B, S] with prompt prefix
@@ -196,7 +196,7 @@ def make_joint_loss_fn(config: ExperimentConfig, model) -> Callable:
     w = config.joint.ctc_weight
 
     def loss_fn(params, batch, rng, train: bool):
-        audio = batch["audio"]
+        audio = dequantize_pcm(batch["audio"])  # int16 wire format ok
         k_aug, k_spec, k_drop = jax.random.split(rng, 3)
         if train and config.augment.enabled:
             audio = augment_waveform(k_aug, audio, config.augment)

@@ -197,6 +197,10 @@ class DataConfig:
     num_host_workers: int = 4
     tokenizer_dir: str = ""  # HF BPE files dir (whisper); else char vocab built
     dialect_weights: Optional[Dict[str, float]] = None  # joint multi-dialect mix
+    # "float32" | "int16": wire format for host->device audio. "int16" ships
+    # native PCM (half the bytes over PCIe/relay); featurize_batch dequantizes
+    # on device as pcm/32768, bit-identical for 16-bit-sourced WAV/FLAC.
+    transfer_dtype: str = "float32"
 
 
 @dataclass
@@ -239,6 +243,11 @@ class DecodeConfig:
     # 16 is the usual CTC-beam pruning width; it also bounds the
     # device->host posterior transfer, the pipeline's bottleneck link
     beam_topk: int = 16
+    # pruned-prefix-beam cutoff for the native CTC beam: drop per-frame
+    # candidates more than |beam_prune_logp| nats below the frame's best
+    # mass. 0.0 disables (exact w.r.t. the top-k proposal set). On trained
+    # (peaked) posteriors most frames become an O(beams) blank-only update.
+    beam_prune_logp: float = 0.0
     ctc_blank_id: int = 0
     max_decode_len: int = 224  # Whisper AR decode cap
     length_penalty: float = 1.0

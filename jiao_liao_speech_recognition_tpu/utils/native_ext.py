@@ -179,11 +179,13 @@ def load_beam():
         ctypes.POINTER(ctypes.c_int32),   # out_ids [B,T]
         ctypes.POINTER(ctypes.c_int32),   # out_lens [B]
         ctypes.c_int32,                   # n_threads
+        ctypes.c_float,                   # prune_logp (<0 prunes; >=0 exact)
     ]
 
     class _Beam:
         @staticmethod
-        def search(lp_top, tok_top, lp_blank, lengths, beam_size, n_threads=0):
+        def search(lp_top, tok_top, lp_blank, lengths, beam_size, n_threads=0,
+                   prune_logp=0.0):
             lp_top = np.ascontiguousarray(lp_top, dtype=np.float32)
             tok_top = np.ascontiguousarray(tok_top, dtype=np.int32)
             lp_blank = np.ascontiguousarray(lp_blank, dtype=np.float32)
@@ -200,6 +202,7 @@ def load_beam():
                 out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 n_threads,
+                float(prune_logp),
             )
             return out_ids, out_lens
 

@@ -59,16 +59,43 @@ struct Cand {
 
 void decode_one(const float* lp_top, const int32_t* tok_top,
                 const float* lp_blank, int len, int T, int K, int beam_size,
-                int32_t* out_ids, int32_t* out_len) {
+                float prune_logp, int32_t* out_ids, int32_t* out_len) {
   std::vector<Beam> beams(1);  // the empty prefix
   std::unordered_map<uint64_t, Cand> cands;
   std::vector<std::pair<double, uint64_t>> order;
   cands.reserve(static_cast<size_t>(beam_size) * (K + 2) * 2);
+  const bool prune = prune_logp < 0.0f;
 
   for (int t = 0; t < len; ++t) {
     const float* lt = lp_top + static_cast<size_t>(t) * K;
     const int32_t* tt = tok_top + static_cast<size_t>(t) * K;
     const double lpb = lp_blank[t];
+
+    // Adaptive candidate pruning (the standard pruned-prefix-beam cutoff):
+    // tokens more than |prune_logp| nats below the frame's best mass are
+    // treated as -inf. The top list arrives sorted descending, so the live
+    // set is a prefix of length n_active. prune_logp >= 0 disables (exact).
+    int n_active = K;
+    if (prune) {
+      const double frame_best = std::max(lpb, static_cast<double>(lt[0]));
+      const double cut = frame_best + prune_logp;
+      n_active = 0;
+      while (n_active < K && lt[n_active] >= cut && tt[n_active] >= 0)
+        ++n_active;
+    }
+
+    if (prune && n_active == 0) {
+      // blank-dominated frame: every beam maps only to its own same-prefix
+      // candidate (pb += blank; repeat-last mass is below the cutoff), so
+      // prefixes, merges and ordering are all unchanged — O(beams) update,
+      // no hash map, no sort.
+      for (Beam& bm : beams) {
+        bm.pb = lse(bm.pb, bm.pnb) + lpb;
+        bm.pnb = NEG;
+      }
+      continue;
+    }
+
     cands.clear();
 
     for (size_t i = 0; i < beams.size(); ++i) {
@@ -82,17 +109,17 @@ void decode_one(const float* lp_top, const int32_t* tok_top,
       if (same.src < 0) { same.src = static_cast<int32_t>(i); same.app = -1; }
       same.pb = lse(same.pb, ptot + lpb);
       if (has_last) {
-        // lp[last] from this frame's pruned list; absent -> -inf (exact
-        // when K covers the vocab — see file header)
+        // lp[last] from this frame's live list; absent -> -inf (exact
+        // when K covers the vocab and pruning is off — see file header)
         double lp_last = NEG;
-        for (int j = 0; j < K; ++j) {
+        for (int j = 0; j < n_active; ++j) {
           if (tt[j] == last) { lp_last = lt[j]; break; }
         }
         if (lp_last > NEG) same.pnb = lse(same.pnb, bm.pnb + lp_last);
       }
 
       // extension candidates: append token v
-      for (int j = 0; j < K; ++j) {
+      for (int j = 0; j < n_active; ++j) {
         const int32_t v = tt[j];
         if (v < 0) continue;  // padding slot (K > V-1)
         const double src_p = (has_last && v == last) ? bm.pb : ptot;
@@ -148,11 +175,13 @@ extern "C" {
 // lp_top/tok_top: [B,T,K] pruned extension log-probs + token ids (blank
 // excluded upstream; tok < 0 marks padding slots). lp_blank: [B,T].
 // lengths: [B] valid frames. out_ids: [B,T] (left-packed), out_lens: [B].
+// prune_logp < 0: per-frame candidate cutoff in nats below the frame's best
+// mass (pruned-prefix-beam); >= 0 disables pruning (exactness regime).
 void ctc_beam_search_topk(const float* lp_top, const int32_t* tok_top,
                           const float* lp_blank, const int32_t* lengths,
                           int32_t B, int32_t T, int32_t K, int32_t beam_size,
                           int32_t* out_ids, int32_t* out_lens,
-                          int32_t n_threads) {
+                          int32_t n_threads, float prune_logp) {
   if (n_threads <= 0) {
     n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 1;
@@ -166,7 +195,7 @@ void ctc_beam_search_topk(const float* lp_top, const int32_t* tok_top,
       decode_one(lp_top + static_cast<size_t>(b) * T * K,
                  tok_top + static_cast<size_t>(b) * T * K,
                  lp_blank + static_cast<size_t>(b) * T,
-                 std::min(lengths[b], T), T, K, beam_size,
+                 std::min(lengths[b], T), T, K, beam_size, prune_logp,
                  out_ids + static_cast<size_t>(b) * T, out_lens + b);
     }
   };

@@ -100,3 +100,41 @@ def test_bundle_beam_strategy_uses_native(tmp_path, rng, tiny_wav):
     beam2 = bundle.transcribe(tiny_wav, decode_cfg=DecodeConfig(strategy="beam"))
     assert beam == beam2
     assert isinstance(beam[0], str)
+
+
+def test_pruned_beam_matches_exact_on_peaked(rng):
+    """prune_logp < 0 drops only negligible-mass candidates: on peaked
+    (trained-like) posteriors the pruned search returns the exact result,
+    and a blank-dominated corpus exercises the O(beams) fast path."""
+    from jiao_liao_speech_recognition_tpu.decode.ctc import (
+        ctc_prefix_beam_search_native,
+    )
+
+    B, T, V = 6, 32, 16
+    lp = _rand_log_probs(rng, B, T, V, peaked=4.0)
+    # make half the frames blank-dominated (the production regime)
+    lp[:, ::2, 0] = -0.01
+    lp[:, ::2, 1:] = np.log(
+        np.maximum(1.0 - np.exp(-0.01), 1e-9) / (V - 1)
+    )
+    lengths = np.full((B,), T, np.int32)
+    exact = ctc_prefix_beam_search_native(lp, lengths, beam_size=8)
+    pruned = ctc_prefix_beam_search_native(
+        lp, lengths, beam_size=8, prune_logp=-10.0
+    )
+    np.testing.assert_array_equal(exact[1], pruned[1])
+    np.testing.assert_array_equal(exact[0], pruned[0])
+
+
+def test_prune_zero_is_noop(rng):
+    from jiao_liao_speech_recognition_tpu.decode.ctc import (
+        ctc_prefix_beam_search_native,
+    )
+
+    B, T, V = 4, 20, 10
+    lp = _rand_log_probs(rng, B, T, V)
+    lengths = np.full((B,), T, np.int32)
+    a = ctc_prefix_beam_search_native(lp, lengths, beam_size=8, prune_logp=0.0)
+    b = ctc_prefix_beam_search_native(lp, lengths, beam_size=8)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])

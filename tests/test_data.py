@@ -175,3 +175,28 @@ def test_prefetch_propagates_worker_exception(tmp_path):
     )
     with pytest.raises(RuntimeError, match="prefetch worker died"):
         next(it)
+
+
+def test_int16_wire_format_matches_float32(corpus):
+    """transfer_dtype='int16' ships native PCM; dequantizing on device must
+    reproduce the float32 path bit-for-bit for 16-bit-sourced WAV."""
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.frontend.features import dequantize_pcm
+
+    m = read_manifest(corpus)
+    tok = CharTokenizer.build(m.texts())
+    kw = dict(batch_size=3, bucket_boundaries_seconds=(2.0, 5.0), max_text_len=16)
+    it_f32 = BatchIterator(m, tok, DataConfig(**kw), shuffle=False)
+    it_i16 = BatchIterator(
+        m, tok, DataConfig(transfer_dtype="int16", **kw), shuffle=False
+    )
+    for _ in range(4):
+        bf, bi = next(it_f32), next(it_i16)
+        assert bi.audio.dtype == np.int16
+        assert bf.audio.dtype == np.float32
+        deq = np.asarray(dequantize_pcm(jnp.asarray(bi.audio)))
+        np.testing.assert_array_equal(deq, bf.audio)
+        np.testing.assert_array_equal(bi.audio_lengths, bf.audio_lengths)
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        BatchIterator(m, tok, DataConfig(transfer_dtype="fp8", **kw))
