@@ -104,6 +104,7 @@ class CTCEncoderModel(nn.Module):
                 cfg.dropout,
                 cfg.adapter if cfg.adapter.kind != "none" else None,
                 cfg.use_flash_attention,
+                gelu_form=cfg.gelu_form,
                 name=f"block_{i}",
             )
             # positional call keeps nn.remat static_argnums stable

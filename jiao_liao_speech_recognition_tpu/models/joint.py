@@ -58,7 +58,8 @@ class JointCTCAttentionModel(nn.Module):
         self.enc_blocks = [
             block(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
-                ad, cfg.use_flash_attention, name=f"enc_block_{i}",
+                ad, cfg.use_flash_attention, gelu_form=cfg.gelu_form,
+                name=f"enc_block_{i}",
             )
             for i in range(cfg.num_layers)
         ]
@@ -74,7 +75,7 @@ class JointCTCAttentionModel(nn.Module):
             TransformerBlock(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
                 ad, cfg.use_flash_attention, cross_attention=True,
-                name=f"dec_block_{i}",
+                gelu_form=cfg.gelu_form, name=f"dec_block_{i}",
             )
             for i in range(cfg.decoder_layers)
         ]

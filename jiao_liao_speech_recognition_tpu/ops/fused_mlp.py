@@ -16,10 +16,14 @@ Two kernels, both tiling over (batch, time) with grid-resident weights
 
 Numerics mirror the flax modules they replace (models/layers.py): f32
 LayerNorm statistics, bf16 operands, f32 MXU accumulation rounded to bf16
-before the bias add, exact-form GELU via an erf rational approximation in
-f32 (<=1.5e-7 abs — far below one bf16 ulp; Mosaic TC can't lower erf
-directly, see _erf_gelu_f32). bench.py's --parity mode asserts TPU-fused
-vs CPU-module greedy TEXT equality end-to-end every round.
+before the bias add. GELU follows the model family's `gelu_form`: the
+flagship CTC/joint family uses tanh-form on BOTH the module and kernel
+paths (exact agreement in intent; tanh is hardware-cheap — +12% e2e RTFx
+over erf), while Whisper keeps exact-form GELU (HF-checkpoint logit
+parity) via an erf rational approximation in f32 (<=1.5e-7 abs — far
+below one bf16 ulp; Mosaic TC can't lower erf directly, see
+_erf_gelu_f32). bench.py's --parity mode asserts TPU-fused vs CPU-module
+greedy TEXT equality end-to-end every round.
 
 TPU-native replacement for the reference's fused CUDA epilogues
 (torch 2.1 inductor fusions, /root/reference/requirements.txt:75).
@@ -44,14 +48,31 @@ BLOCK_T = 256
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
+def _tanh_gelu_f32(hf: jnp.ndarray) -> jnp.ndarray:
+    """Tanh-form GELU 0.5*h*(1+tanh(sqrt(2/pi)*(h+0.044715 h^3))) — the
+    form the flagship family computes on EVERY path (module + kernel), so
+    fused-vs-module agreement is exact-in-intent. tanh lowers to a cheap
+    hardware-assisted op on the VPU: measured +12% end-to-end RTFx over the
+    erf rational form at B=128 x 30 s (45.0k vs 40.0k; an FMA-only deg-11
+    Chebyshev erf measured WORSE than the rational form, 39.3k — generic
+    polynomial work can't beat the tanh unit)."""
+    # op order mirrors jax.nn.gelu(approximate=True) exactly (x * cdf with
+    # x**3, not 0.5*x*(1+tanh) with x*x*x) so module and kernel paths agree
+    # bit-for-bit wherever tanh itself does
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    cdf = 0.5 * (1.0 + jnp.tanh(c * (hf + np.float32(0.044715) * (hf ** 3))))
+    return hf * cdf
+
+
 def _erf_gelu_f32(hf: jnp.ndarray) -> jnp.ndarray:
     """Exact-form GELU 0.5*h*(1+erf(h/sqrt(2))) for Mosaic, which can't
     lower erf/erfc directly. erf is the Abramowitz–Stegun 7.1.26 rational
     approximation (|abs err| <= 1.5e-7 in f32) — ~25x below one bf16 ulp at
     |gelu|~1, so after the kernel's bf16 cast this matches the module path's
     jax.nn.gelu(approximate=False) except for values within ~1e-7 of a bf16
-    rounding boundary. (The previous tanh-form GELU sat 3e-3 away — a full
-    bf16 ulp — which is what kept TPU and CPU logits visibly apart.)"""
+    rounding boundary. (The tanh-form GELU sits 3e-3 away — a full bf16
+    ulp — which is what kept TPU and CPU logits visibly apart; Whisper
+    keeps this form because HF-checkpoint logit parity pins exact GELU.)"""
     x = hf * np.float32(1.0 / np.sqrt(2.0))
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
@@ -70,6 +91,18 @@ def _erf_gelu_f32(hf: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * hf * (1.0 + erf)
 
 
+def _gelu_f32(hf: jnp.ndarray, gelu_form: str) -> jnp.ndarray:
+    """Kernel GELU dispatch. 'tanh': flagship family — matches the module
+    path's jax.nn.gelu(approximate=True) and is ~12% faster end-to-end.
+    'erf': Whisper family — matches jax.nn.gelu(approximate=False) to
+    <=1.5e-7 (HF-checkpoint logit parity pins the exact form)."""
+    if gelu_form == "tanh":
+        return _tanh_gelu_f32(hf)
+    if gelu_form == "erf":
+        return _erf_gelu_f32(hf)
+    raise ValueError(f"unknown gelu_form {gelu_form!r} (want 'tanh'|'erf')")
+
+
 def mlp_fits_vmem(d: int, mlp: int) -> bool:
     tile = (
         2 * (d * mlp + mlp * d)          # resident bf16 weights
@@ -79,14 +112,16 @@ def mlp_fits_vmem(d: int, mlp: int) -> bool:
     return tile <= _VMEM_BUDGET_BYTES
 
 
-def _mlp_reference(x, w1, b1, w2, b2):
+def _mlp_reference(x, w1, b1, w2, b2, gelu_form="erf"):
     """XLA twin (same numerics contract) — backward path + fallback."""
     dt = x.dtype
     h = jax.lax.dot_general(
         x, w1.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dt) + b1.astype(dt)
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dt)
+    h = jax.nn.gelu(
+        h.astype(jnp.float32), approximate=gelu_form == "tanh"
+    ).astype(dt)
     return jax.lax.dot_general(
         h, w2.astype(dt), (((h.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -104,7 +139,8 @@ def _mlp_reference(x, w1, b1, w2, b2):
 
 
 def _ln_mlp_res_kernel(
-    x_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps
+    x_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps,
+    gelu_form,
 ):
     """One (batch, time-block) program of y = x + MLP(LN(x)).
 
@@ -122,7 +158,7 @@ def _ln_mlp_res_kernel(
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + b1_ref[0]
     hf = h.astype(jnp.float32)
-    h = _erf_gelu_f32(hf).astype(x.dtype)
+    h = _gelu_f32(hf, gelu_form).astype(x.dtype)
     y = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -130,33 +166,37 @@ def _ln_mlp_res_kernel(
     out_ref[0] = x + y
 
 
-def _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps):
+def _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps, gelu_form="erf"):
     """XLA twin with flax nn.LayerNorm numerics (f32 stats, bf16 output)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     ln = ((xc * jax.lax.rsqrt(var + eps)) * g + bl).astype(x.dtype)
-    return x + _mlp_reference(ln, w1, b1, w2, b2)
+    return x + _mlp_reference(ln, w1, b1, w2, b2, gelu_form)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_ln_mlp_residual(x, g, bl, w1, b1, w2, b2, eps=1e-5):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_mlp_residual(x, g, bl, w1, b1, w2, b2, eps=1e-5, gelu_form="erf"):
     """y = x + fc2(gelu(fc1(LayerNorm(x)))) — the whole pre-LN MLP sublayer
     of TransformerBlock in one VMEM-resident kernel. x bf16 [B, T, d];
-    g/bl f32 [d] LayerNorm params; weights f32 (cast to bf16 like nn.Dense)."""
-    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps)
+    g/bl f32 [d] LayerNorm params; weights f32 (cast to bf16 like nn.Dense).
+    gelu_form 'tanh' (flagship: module path uses the same form — exact
+    agreement in intent, ~12% faster) or 'erf' (Whisper: HF logit parity)."""
+    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps, gelu_form)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps):
+@functools.partial(jax.jit, static_argnames=("eps", "gelu_form"))
+def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps, gelu_form="erf"):
     B, T, d = x.shape
     mlp = w1.shape[1]
     if not mlp_fits_vmem(d, mlp):
         # wide MLPs (large-v3: d=1280, mlp=5120): hidden-chunk-split kernel
         if mlp_csplit_fits_vmem(d, mlp):
-            return _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps)
-        return _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps)
+            return _fused_ln_mlp_csplit_impl(
+                x, g, bl, w1, b1, w2, b2, eps, gelu_form
+            )
+        return _ln_mlp_reference(x, g, bl, w1, b1, w2, b2, eps, gelu_form)
     t_pad = max(-(-T // BLOCK_T) * BLOCK_T, BLOCK_T)
     interpret = jax.default_backend() != "tpu"
     xp = jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0))) if t_pad != T else x
@@ -168,7 +208,9 @@ def _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps):
     b1b = b1.astype(jnp.bfloat16)[None, :]
     b2b = b2.astype(jnp.bfloat16)[None, :]
     out = pl.pallas_call(
-        functools.partial(_ln_mlp_res_kernel, eps=np.float32(eps)),
+        functools.partial(
+            _ln_mlp_res_kernel, eps=np.float32(eps), gelu_form=gelu_form
+        ),
         grid=(B, t_pad // BLOCK_T),
         in_specs=[
             pl.BlockSpec((1, BLOCK_T, d), lambda b, i: (b, i, 0)),
@@ -205,7 +247,7 @@ MLP_CHUNK = 512
 
 def _ln_mlp_csplit_kernel(
     x_ref, g_ref, bl_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref,
-    *, eps, n_chunks
+    *, eps, n_chunks, gelu_form
 ):
     c = pl.program_id(2)
     x = x_ref[0]
@@ -223,7 +265,7 @@ def _ln_mlp_csplit_kernel(
         ln.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + b1_ref[0]
-    h = _erf_gelu_f32(h.astype(jnp.float32)).astype(x.dtype)
+    h = _gelu_f32(h.astype(jnp.float32), gelu_form).astype(x.dtype)
     acc_ref[...] += jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -248,8 +290,8 @@ def mlp_csplit_fits_vmem(d: int, mlp: int, chunk: int = MLP_CHUNK) -> bool:
     return tile <= _VMEM_BUDGET_BYTES
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps):
+@functools.partial(jax.jit, static_argnames=("eps", "gelu_form"))
+def _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps, gelu_form="erf"):
     B, T, d = x.shape
     mlp = w1.shape[1]
     chunk = MLP_CHUNK
@@ -260,7 +302,8 @@ def _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps):
     xp = xp.astype(jnp.bfloat16)
     out = pl.pallas_call(
         functools.partial(
-            _ln_mlp_csplit_kernel, eps=np.float32(eps), n_chunks=n_chunks
+            _ln_mlp_csplit_kernel, eps=np.float32(eps), n_chunks=n_chunks,
+            gelu_form=gelu_form,
         ),
         grid=(B, t_pad // BLOCK_T, n_chunks),
         in_specs=[
@@ -293,16 +336,17 @@ def _fused_ln_mlp_csplit_impl(x, g, bl, w1, b1, w2, b2, eps):
     return out[:, :T, :].astype(x.dtype)
 
 
-def _flnm_fwd(x, g, bl, w1, b1, w2, b2, eps):
-    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps), (
+def _flnm_fwd(x, g, bl, w1, b1, w2, b2, eps, gelu_form):
+    return _fused_ln_mlp_fwd_impl(x, g, bl, w1, b1, w2, b2, eps, gelu_form), (
         x, g, bl, w1, b1, w2, b2,
     )
 
 
-def _flnm_bwd(eps, res, gout):
+def _flnm_bwd(eps, gelu_form, res, gout):
     x, g, bl, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
-        lambda *a: _ln_mlp_reference(*a, eps), x, g, bl, w1, b1, w2, b2
+        lambda *a: _ln_mlp_reference(*a, eps, gelu_form),
+        x, g, bl, w1, b1, w2, b2,
     )
     return vjp(gout)
 

@@ -65,7 +65,7 @@ def overfit_bundle():
     tok = CharTokenizer.build([TEXT])
     cfg = _tiny_config(len(tok))
     cfg.train.optimizer = OptimizerConfig(
-        learning_rate=3e-3, warmup_steps=10, total_steps=150, schedule="constant"
+        learning_rate=3e-3, warmup_steps=10, total_steps=220, schedule="constant"
     )
     params = ModelBundle._init_params(cfg)
     _, _, tx, step = build_train_setup(cfg, params)
@@ -83,7 +83,7 @@ def overfit_bundle():
         "label_lengths": jnp.asarray([len(ids)], dtype=np.int32),
     }
     loss = None
-    for _ in range(150):
+    for _ in range(220):
         state, m = step(state, batch)
         loss = float(m["loss"])
     bundle = ModelBundle(config=cfg, params=state.params, tokenizer=tok)
@@ -187,10 +187,12 @@ def test_long_form_chunked_transcription(overfit_bundle):
     long_wav = np.concatenate([wav, np.zeros(chunk - len(wav), np.float32), wav])
     texts = bundle.transcribe(long_wav, sample_rate=16000)
     # chunk 0 carries trailing silence the overfit model never saw, which can
-    # add a stray char — require near-match of the doubled transcript, and
-    # that exactly two chunks were decoded and joined
-    assert cer(TEXT + TEXT, texts[0]) <= 0.2, texts
-    assert texts[0].startswith(TEXT[:2]) and texts[0].endswith(TEXT[-2:])
+    # emit a few stray chars — the contract under test is that exactly two
+    # chunks were decoded and re-joined IN ORDER: the transcript contains the
+    # fixture text twice, with at most the silence-region strays in between
+    assert texts[0].count(TEXT) == 2, texts
+    assert len(texts[0]) <= 2 * len(TEXT) + 4, texts
+    assert texts[0].startswith(TEXT) and texts[0].endswith(TEXT)
 
 
 def test_eval_during_training(tmp_path, rng):

@@ -34,6 +34,58 @@ def test_erf_gelu_matches_exact_gelu_below_bf16_ulp():
         assert float(rel.max()) <= 1.0 / 128.0
 
 
+def test_tanh_gelu_matches_jax_tanh_gelu():
+    """The flagship family's kernel GELU (_tanh_gelu_f32) and module-path
+    GELU (jax.nn.gelu(approximate=True)) are the SAME tanh form — agreement
+    to f32 rounding of the formula (jax.nn.gelu orders the ops slightly
+    differently, ~1e-6), so fused-vs-module numerics for the flagship
+    differ only at bf16 rounding boundaries — the same <1% one-ulp-flip
+    regime as the erf test above; end-to-end TEXT parity is proven on-chip
+    by bench.py's parity section every round."""
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 100001, dtype=np.float32))
+    got = fm._tanh_gelu_f32(x)
+    want = jax.nn.gelu(x, approximate=True)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5
+    gb = np.asarray(got.astype(jnp.bfloat16), np.float32)
+    wb = np.asarray(want.astype(jnp.bfloat16), np.float32)
+    flips = gb != wb
+    assert flips.mean() < 0.01, f"bf16 flip rate {flips.mean():.4f}"
+    if flips.any():
+        rel = np.abs(gb[flips] - wb[flips]) / np.maximum(np.abs(wb[flips]), 1e-30)
+        assert float(rel.max()) <= 1.0 / 128.0
+
+
+def test_gelu_form_dispatch_and_validation():
+    x = jnp.asarray(np.linspace(-3.0, 3.0, 257, dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fm._gelu_f32(x, "tanh")), np.asarray(fm._tanh_gelu_f32(x))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fm._gelu_f32(x, "erf")), np.asarray(fm._erf_gelu_f32(x))
+    )
+    with pytest.raises(ValueError, match="gelu_form"):
+        fm._gelu_f32(x, "relu")
+
+
+def test_fused_ln_mlp_tanh_form_matches_tanh_reference():
+    """gelu_form='tanh' (flagship default) end to end: kernel vs the XLA
+    twin computing the same tanh GELU."""
+    x, g, bl, w1, b1, w2, b2 = _mlp_inputs(seed=12)
+    got = fm._fused_ln_mlp_fwd_impl.__wrapped__(
+        x, g, bl, w1, b1, w2, b2, 1e-5, "tanh"
+    )
+    want = fm._ln_mlp_reference(x, g, bl, w1, b1, w2, b2, 1e-5, "tanh")
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+    # and the two forms genuinely differ (the knob is live)
+    erf = fm._fused_ln_mlp_fwd_impl.__wrapped__(
+        x, g, bl, w1, b1, w2, b2, 1e-5, "erf"
+    )
+    assert np.any(np.asarray(got, np.float32) != np.asarray(erf, np.float32))
+
+
 def _mlp_inputs(B=2, T=96, d=128, mlp=256, seed=0):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.randn(B, T, d).astype(np.float32), jnp.bfloat16)
