@@ -492,7 +492,9 @@ def bench_adapter_finetune() -> float:
         state, metrics = jitted_step(state, b)
         _ = float(metrics["loss"])
 
-    iters = 20
+    # 60 iters ~= 1.5-2 s timed window: a 20-iter window (~0.5 s) showed
+    # +-30% run-to-run wobble through the remote relay (one hiccup dominates)
+    iters = 60
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = jitted_step(state, batches[i % len(batches)])

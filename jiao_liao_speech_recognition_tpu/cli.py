@@ -64,6 +64,10 @@ def cmd_transcribe(args) -> int:
     from .utils.profiling import trace
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
+    if getattr(args, "int8", False):
+        # weight-only int8 decoder for HBM-bound AR serving (whisper family;
+        # ModelBundle.quantize, ops/quant.py)
+        bundle = bundle.quantize()
     decode_cfg = bundle.config.decode
     if args.strategy or args.beam_size is not None:
         decode_cfg = dataclasses.replace(
@@ -250,6 +254,10 @@ def main(argv=None) -> int:
         help="decode strategy override (default: the bundle's config)",
     )
     pr.add_argument("--beam-size", type=int, default=None)
+    pr.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantize the decoder weights before serving (whisper)",
+    )
     pr.set_defaults(fn=cmd_transcribe)
 
     pe = sub.add_parser("evaluate", help="CER/WER on a manifest")

@@ -213,13 +213,26 @@ class WFDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(
-            self.features,
-            dtype=self.dtype,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            name="dense",
-        )(x)
+        params = self.variables.get("params", {})
+        if not self.is_initializing() and "dense_q" in params:
+            # int8-quantized serving tree (ModelBundle.quantize): the kernel
+            # lives in HBM as int8 + per-output-channel f32 scales, streamed
+            # and dequantized in VMEM (ops/quant.py). Replaces the "dense"
+            # subtree wholesale; bias rides along unquantized.
+            from ..ops.quant import int8_matmul
+
+            dq = params["dense_q"]
+            y = int8_matmul(x.astype(self.dtype), dq["kernel_q"], dq["scale"])
+            if self.use_bias:
+                y = y + dq["bias"].astype(self.dtype)
+        else:
+            y = nn.Dense(
+                self.features,
+                dtype=self.dtype,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                name="dense",
+            )(x)
         if self.cfg is not None and self.cfg.kind == "wf":
             y = WFAdapter(
                 self.cfg, self.features, self.dtype, name=f"{ADAPTER_PREFIX}wf"

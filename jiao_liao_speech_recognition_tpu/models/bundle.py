@@ -214,6 +214,52 @@ class ModelBundle:
         object.__setattr__(self, "mesh", mesh)
         return self
 
+    # --------------------------------------------------------- quantization
+    def quantize(self) -> "ModelBundle":
+        """Weight-only int8 quantization of the DECODER Dense kernels for
+        HBM-bound AR serving (ops/quant.py): every `dense` subtree under
+        params['decoder'] becomes `dense_q` = {kernel_q int8, scale f32
+        [d_out], bias}, which WFDense dequantizes in VMEM per step. The
+        encoder stays bf16 — it is MXU-bound and reads its weights once per
+        utterance, and its fused sublayer kernels read the unquantized tree.
+
+        Whisper-only (the flagship CTC family is encoder-only: nothing is
+        weight-read-bound). Returns a NEW bundle; a serving-time transform,
+        not a checkpoint format. Token fidelity vs the bf16 decoder is
+        asserted in tests/test_quant.py."""
+        if self.config.model_family != "whisper":
+            raise NotImplementedError(
+                "int8 decode serving targets the whisper family; the CTC/"
+                "joint encoders are MXU-bound, not weight-read-bound"
+            )
+        from ..ops.quant import quantize_int8
+
+        def walk(node):
+            if not isinstance(node, dict):
+                return node
+            out = {}
+            for k, v in node.items():
+                if (
+                    k == "dense"
+                    and isinstance(v, dict)
+                    and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 2
+                ):
+                    q, scale = quantize_int8(v["kernel"])
+                    dq = {"kernel_q": q, "scale": scale}
+                    if "bias" in v:
+                        dq["bias"] = v["bias"]
+                    out["dense_q"] = dq
+                else:
+                    out[k] = walk(v)
+            return out
+
+        params = dict(self.params)
+        params["decoder"] = walk(params["decoder"])
+        return ModelBundle(
+            config=self.config, params=params, tokenizer=self.tokenizer
+        )
+
     def _shard_inputs(self, *arrays):
         """Shard leading (batch) axes over the mesh data axes (ragged
         batches replicate — see parallel.mesh.shard_batch)."""

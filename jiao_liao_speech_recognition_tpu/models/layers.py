@@ -288,6 +288,9 @@ class TransformerBlock(nn.Module):
                 or (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1)
             )
             and _on_tpu()
+            # int8-quantized serving trees (ModelBundle.quantize) replace
+            # "dense" with "dense_q"; the fused kernels read raw bf16 kernels
+            and "dense" in self.variables["params"]["self_attn"]["q_proj"]
         ):
             # inference fast paths (ops/fused_attention.py, ops/fused_mlp.py;
             # parity with the module path in tests/test_fused_mlp.py /
@@ -417,6 +420,7 @@ class TransformerBlock(nn.Module):
             and self.d_model % 128 == 0
             and self.mlp_dim % 128 == 0
             and _on_tpu()
+            and "dense" in self.variables["params"]["mlp"]["fc1"]  # not int8
         ):
             # inference fast path: the whole pre-LN MLP sublayer
             # (LayerNorm -> fc1 -> GELU -> fc2 -> +residual) in one VMEM

@@ -1,0 +1,155 @@
+"""Weight-only int8 decode quantization (ops/quant.py + ModelBundle.quantize).
+
+The serving transform for HBM-bound whisper AR decode: decoder Dense
+kernels become int8 + per-output-channel scales, dequantized in VMEM by the
+Pallas gemv kernel (interpret mode here; the real-chip throughput win is
+recorded in docs/PERFORMANCE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jiao_liao_speech_recognition_tpu.ops import quant as Q
+
+
+def test_quantize_int8_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 48).astype(np.float32) * 0.07)
+    q, scale = Q.quantize_int8(w)
+    assert q.dtype == jnp.int8 and scale.shape == (48,)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[None, :]
+    # symmetric rounding: error <= half a quantization step per element
+    err = np.abs(deq - np.asarray(w))
+    assert np.all(err <= 0.5 * np.asarray(scale)[None, :] + 1e-8)
+
+
+def test_quantize_int8_zero_channel():
+    w = jnp.zeros((16, 4), jnp.float32)
+    q, scale = Q.quantize_int8(w)
+    assert np.all(np.asarray(q) == 0) and np.all(np.asarray(scale) == 0)
+
+
+def test_int8_matmul_pallas_matches_xla():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 200).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(200, 300).astype(np.float32) * 0.05)
+    q, scale = Q.quantize_int8(w)
+    got = Q._int8_matmul_pallas(x.astype(jnp.bfloat16), q, scale)
+    want = Q._int8_matmul_xla(x, q, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_int8_matmul_long_rows_takes_xla_path():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 100, 64).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1)
+    q, scale = Q.quantize_int8(w)
+    out = Q.int8_matmul(x, q, scale)  # 200 rows > MAX_KERNEL_ROWS
+    assert out.shape == (2, 100, 32) and out.dtype == x.dtype
+
+
+def _tiny_whisper_bundle():
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+        WhisperConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=128, d_model=64, encoder_layers=1, decoder_layers=2,
+            num_heads=2, mlp_dim=128, max_source_positions=32,
+            max_target_positions=16,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 0.64
+    params = ModelBundle._init_params(cfg)
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+
+    return ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer([]))
+
+
+def test_bundle_quantize_decoder_logit_fidelity():
+    """quantize() rewrites every decoder dense -> dense_q (encoder untouched)
+    and the teacher-forced logits stay int8-close: same top-1 token almost
+    everywhere."""
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+
+    def count_keys(node, key):
+        if not isinstance(node, dict):
+            return 0
+        return sum(count_keys(v, key) for v in node.values()) + sum(
+            1 for k in node if k == key
+        )
+
+    assert count_keys(qb.params["decoder"], "dense_q") > 0
+    assert count_keys(qb.params["decoder"], "dense") == 0
+    assert count_keys(qb.params["encoder"], "dense_q") == 0
+    # original bundle untouched (quantize returns a new tree)
+    assert count_keys(bundle.params["decoder"], "dense") > 0
+
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(3)
+    mel = jnp.asarray(rng.randn(2, 80, 64).astype(np.float32))
+    toks = jnp.asarray(rng.randint(0, 128, (2, 8)).astype(np.int32))
+    ref = model.apply({"params": bundle.params}, mel, toks, deterministic=True)
+    got = model.apply({"params": qb.params}, mel, toks, deterministic=True)
+    assert got.shape == ref.shape
+    agree = (np.argmax(np.asarray(got), -1) == np.argmax(np.asarray(ref), -1)).mean()
+    assert agree >= 0.9, f"top-1 agreement {agree:.3f}"
+    ra = np.asarray(ref, np.float32)
+    ga = np.asarray(got, np.float32)
+    cos = (ra * ga).sum() / (np.linalg.norm(ra) * np.linalg.norm(ga) + 1e-9)
+    assert cos > 0.999, cos
+
+
+def test_bundle_quantize_decode_step_runs():
+    """KV-cached greedy decode works against the quantized tree (the actual
+    serving path: decode_step rows <= MAX_KERNEL_ROWS hit the gemv kernel
+    in interpret mode here)."""
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(4)
+    mel = jnp.asarray(rng.randn(1, 80, 64).astype(np.float32))
+    prompt = (1, 2)
+    ref, rn = greedy_generate(model, bundle.params, mel, max_len=6, prompt=prompt)
+    got, gn = greedy_generate(model, qb.params, mel, max_len=6, prompt=prompt)
+    assert got.shape == ref.shape
+    # int8 decode is a serving approximation: shapes/step count must match;
+    # token-level agreement is asserted on the teacher-forced logits above
+    assert int(gn[0]) >= 0
+
+
+def test_quantize_non_whisper_raises():
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.ctc_model.d_model = 64
+    cfg.ctc_model.num_layers = 1
+    cfg.ctc_model.num_heads = 2
+    cfg.ctc_model.mlp_dim = 128
+    cfg.ctc_model.conv_channels = 16
+    cfg.ctc_model.vocab_size = 16
+    params = ModelBundle._init_params(cfg)
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+
+    b = ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer([]))
+    with pytest.raises(NotImplementedError):
+        b.quantize()
