@@ -222,6 +222,10 @@ class ModelBundle:
         [d_out], bias}, which WFDense dequantizes in VMEM per step. The
         encoder stays bf16 — it is MXU-bound and reads its weights once per
         utterance, and its fused sublayer kernels read the unquantized tree.
+        Decode from a quantized tree also stores the cross-attention KV
+        caches int8 with per-position scales (whisper.init_cache +
+        layers._int8_cross_attention): they are re-read end to end every
+        step, the other dominant HBM term.
 
         Whisper-only (the flagship CTC family is encoder-only: nothing is
         weight-read-bound). Returns a NEW bundle; a serving-time transform,

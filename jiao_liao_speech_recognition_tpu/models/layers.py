@@ -80,6 +80,60 @@ def dot_product_attention(
     )
 
 
+def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
+    """Decode-step attention over int8 cross caches (ops/quant.quantize_kv).
+
+    qh [B, H, Tq, dh]; kq/vq int8 [B, H, Tk, dh]; ks/vs f32 [B, H, Tk]
+    per-position scales. Tk may be 128-padded past the real encoder length
+    `t_enc` (init_cache stores the caches kernel-ready; padded scales are 0).
+    Scales commute with both contractions:
+    logits[t] = (q . K[t]) * ks[t]; out = (p * vs) @ V.
+
+    Mask contract: `mask` is a [B, 1, 1, Tm] PREFIX (length) mask over the
+    unpadded encoder positions, or None meaning all `t_enc` positions are
+    valid — either way attention is over keys [0, len) per batch row.
+
+    On TPU this runs the Pallas decode-attention kernel
+    (ops/quant.int8_decode_attention): the int8 tiles convert to bf16 in
+    VMEM, so HBM streams 1 byte/element. (An XLA broadcast-multiply+reduce
+    formulation was measured CATASTROPHICALLY slower — 839 -> 502 tok/s at
+    large-v3 B=8 — XLA's loop fusion does not stream int8 at memory speed;
+    and a plain einsum re-materializes the dequantized cache per step.)
+    Off-TPU the mul-reduce form below is the reference semantics."""
+    B, H, Tq, dh = qh.shape
+    Tk = kq.shape[2]
+    if t_enc is None:
+        t_enc = Tk
+    if mask is None:
+        kv_lens = jnp.full((B,), min(t_enc, Tk), jnp.int32)
+    else:
+        kv_lens = jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1)
+    if jax.default_backend() == "tpu" and Tq <= 8:
+        from ..ops.quant import int8_decode_attention
+
+        return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(dtype)
+    scale = 1.0 / np.sqrt(dh)
+    s = (
+        jnp.sum(
+            qh[:, :, :, None, :].astype(jnp.float32)
+            * kq[:, :, None, :, :].astype(jnp.float32),
+            axis=-1,
+        )
+        * ks[:, :, None, :]
+        * scale
+    )  # [B, H, Tq, Tk] f32
+    pmask = (
+        jnp.arange(Tk)[None, None, None, :] < kv_lens[:, None, None, None]
+    )
+    s = jnp.where(pmask, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = p * vs[:, :, None, :]
+    o = jnp.sum(
+        pv[:, :, :, :, None] * vq[:, :, None, :, :].astype(jnp.float32), axis=3
+    )  # [B, H, Tq, dh]
+    return o.astype(dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """MHA with optional cross-attention inputs and KV-cache decode step.
 
@@ -119,6 +173,23 @@ class MultiHeadAttention(nn.Module):
             qh = q.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
             if kv_cache is not None and kv is not None:
                 # cross-attention: reuse the precomputed encoder K/V
+                if "k_scale" in kv_cache:
+                    # int8 cross cache (quantized serving bundle). The cache
+                    # is 128-padded past the real encoder length; `kv` is the
+                    # unpadded encoder output, so its static T is the valid
+                    # horizon when the caller passes no length mask.
+                    o = _int8_cross_attention(
+                        qh, kv_cache["k"], kv_cache["k_scale"],
+                        kv_cache["v"], kv_cache["v_scale"], mask, self.dtype,
+                        t_enc=kv.shape[1],
+                    )
+                    out = o.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
+                    out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
+                    if self.dropout > 0:
+                        out = nn.Dropout(self.dropout)(
+                            out, deterministic=deterministic
+                        )
+                    return out, kv_cache
                 k4, v4 = kv_cache["k"], kv_cache["v"]
                 new_cache = kv_cache
             else:
@@ -156,7 +227,11 @@ class MultiHeadAttention(nn.Module):
         q = WFDense(self.d_model, wf, self.dtype, name="q_proj")(x)
         new_cache = None
         if kv_cache is not None and kv is not None:
-            # cross-attention during decode: reuse precomputed encoder K/V
+            # cross-attention during decode: reuse precomputed encoder K/V.
+            # (int8 cross caches are ALWAYS head-major [B,H,T,dh] — their
+            # read path never runs an einsum, so the packed-layout small-
+            # batch advantage doesn't apply — and thus dispatch to the
+            # 4-dim branch above.)
             k, v = kv_cache["k"], kv_cache["v"]
             new_cache = kv_cache
         else:

@@ -135,18 +135,59 @@ class WhisperDecoder(nn.Module):
         dh = cfg.d_model // H
         from . import layers as _layers  # late lookup: patchable in tests
         head_major = batch >= _layers.HEAD_MAJOR_MIN_BATCH
+
+        def _tree_quantized(node):
+            if not isinstance(node, dict):
+                return False
+            return "dense_q" in node or any(
+                _tree_quantized(v) for v in node.values()
+            )
+
+        # int8-quantized serving tree (ModelBundle.quantize) => also store
+        # the cross caches int8 with per-position scales: they are re-read
+        # END TO END every decode step (2 GB bf16 for large-v3 at B=8 — the
+        # dominant roofline term once the weights are int8), while being
+        # written exactly once per utterance. Self caches stay bf16 (small
+        # horizon, written per step).
+        int8_cross = _tree_quantized(self.variables.get("params", {}))
         caches = {}
         for i, blk in enumerate(self.blocks):
             cross = blk(None, enc=enc, precompute_cross=True)
-            if head_major:
+            if head_major or int8_cross:
+                # int8 cross caches are head-major at EVERY batch size: the
+                # int8 read path is mul-reduce (no einsum), so the packed
+                # layout's small-batch einsum advantage doesn't apply
                 t_enc = cross["k"].shape[1]
                 cross = {
                     n: a.reshape(batch, t_enc, H, dh).transpose(0, 2, 1, 3)
                     for n, a in cross.items()
                 }
-                self_shape = (batch, H, t_cache, dh)
-            else:
-                self_shape = (batch, t_cache, cfg.d_model)
+            self_shape = (
+                (batch, H, t_cache, dh)
+                if head_major
+                else (batch, t_cache, cfg.d_model)
+            )
+            if int8_cross:
+                from ..ops.quant import quantize_kv
+
+                kq, ks = quantize_kv(cross["k"])
+                vq, vs = quantize_kv(cross["v"])
+                # store KERNEL-READY: T padded to a 128-multiple at build
+                # time (scales 0 in padding). Padding per step instead was
+                # measured to erase the entire int8 win — it re-copies the
+                # whole cache every token. The valid horizon isn't stored:
+                # decode_step receives the unpadded encoder output every
+                # step, so layers.py re-derives it statically (keeping every
+                # cache leaf batch-major for beam-search gathers).
+                t_enc = kq.shape[2]
+                t_pad = -(-t_enc // 128) * 128
+                pad3 = ((0, 0), (0, 0), (0, t_pad - t_enc))
+                cross = {
+                    "k": jnp.pad(kq, pad3 + ((0, 0),)),
+                    "k_scale": jnp.pad(ks, pad3),
+                    "v": jnp.pad(vq, pad3 + ((0, 0),)),
+                    "v_scale": jnp.pad(vs, pad3),
+                }
             entry = {
                 "self": {
                     "k": jnp.zeros(self_shape, dtype),

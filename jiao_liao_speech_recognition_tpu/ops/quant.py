@@ -56,6 +56,113 @@ def quantize_int8(w: jnp.ndarray):
     return q, scale
 
 
+def quantize_kv(a: jnp.ndarray):
+    """Per-position int8 for KV caches: a [..., T, dh] -> (q int8 same
+    shape, scale f32 [..., T]) with a ~= q * scale[..., None]. Both
+    attention contractions commute with a per-KEY-POSITION scale:
+    logits[t] = (q_vec . K[t]) * sk[t] and out = (probs * sv) @ V, so the
+    decode step can read int8 rows and fold the scales in elementwise —
+    no dequantized copy of the cache ever exists in HBM (the read path
+    uses broadcast-multiply + reduce, which XLA input-fuses over the int8
+    arrays; a dot would re-materialize them in bf16)."""
+    a = jnp.asarray(a)
+    amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(
+        jnp.round(a.astype(jnp.float32) / safe[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_decode_attn_kernel(
+    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, *, scale
+):
+    """One (batch*head) program of decode attention over int8 K/V.
+
+    q_ref [1, tq_pad, dh] bf16; k_ref/v_ref [1, tk_pad, dh] int8;
+    ks_ref/vs_ref [1, tk_pad] f32 per-position scales (0 in padding);
+    len_ref [B*H] SMEM valid key lengths. int8 -> bf16 conversion happens
+    on VMEM-resident tiles, so HBM streams 1 byte per cache element."""
+    bh = pl.program_id(0)
+    length = len_ref[bh]
+    q = q_ref[0]
+    kf = k_ref[0].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [tq_pad, tk_pad]
+    s = s * (ks_ref[0] * scale)  # ks_ref block [1, 1, tk_pad] -> [1, tk_pad]
+    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(idx < length, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    o = jax.lax.dot_general(
+        pv, v_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def int8_decode_attention(qh, kq, ks, vq, vs, kv_lens):
+    """Decode-step attention over int8 head-major cross caches on TPU.
+
+    qh [B, H, Tq<=8, dh] (bf16/f32); kq/vq int8 [B, H, Tk, dh]; ks/vs f32
+    [B, H, Tk]; kv_lens int32 [B]. Returns [B, H, Tq, dh] f32.
+    Head-major in, head-major out: the [B,H,..] -> [B*H,..] folds are free
+    reshapes (no transpose), unlike the bf16 flash path's [B,T,H,D] layout."""
+    B, H, Tq, dh = qh.shape
+    Tk = kq.shape[2]
+    tq_pad = 8
+    tk_pad = -(-Tk // 128) * 128
+    scale = 1.0 / np.sqrt(dh)
+    qb = jnp.pad(
+        qh.astype(jnp.bfloat16).reshape(B * H, Tq, dh),
+        ((0, 0), (0, tq_pad - Tq), (0, 0)),
+    )
+    kb = jnp.pad(kq.reshape(B * H, Tk, dh), ((0, 0), (0, tk_pad - Tk), (0, 0)))
+    vb = jnp.pad(vq.reshape(B * H, Tk, dh), ((0, 0), (0, tk_pad - Tk), (0, 0)))
+    # scales carried as [B*H, 1, tk_pad]: a 2-D (1, tk_pad) block fails the
+    # Mosaic (8, 128)-divisibility rule on its sublane dim; a 3-D block of
+    # (1, 1, tk_pad) is "equal to the array dims" and lowers cleanly
+    ksb = jnp.pad(
+        ks.astype(jnp.float32).reshape(B * H, 1, Tk),
+        ((0, 0), (0, 0), (0, tk_pad - Tk)),
+    )
+    vsb = jnp.pad(
+        vs.astype(jnp.float32).reshape(B * H, 1, Tk),
+        ((0, 0), (0, 0), (0, tk_pad - Tk)),
+    )
+    lens = jnp.broadcast_to(
+        jnp.minimum(kv_lens.astype(jnp.int32), Tk)[:, None], (B, H)
+    ).reshape(B * H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, tq_pad, dh), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, tk_pad, dh), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tk_pad), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, tk_pad, dh), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tk_pad), lambda b, lens: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq_pad, dh), lambda b, lens: (b, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_int8_decode_attn_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, tq_pad, dh), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * tq_pad * tk_pad * dh,
+            bytes_accessed=2 * B * H * tk_pad * (dh + 4),
+            transcendentals=B * H * tq_pad * tk_pad,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lens, qb, kb, ksb, vb, vsb)
+    return out.reshape(B, H, tq_pad, dh)[:, :, :Tq, :]
+
+
 def _int8_matmul_xla(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
     """Reference/fallback: dequantized bf16 matmul (materializes the bf16
     weights — correct everywhere, fast only where compute dominates)."""

@@ -52,6 +52,107 @@ def test_int8_matmul_long_rows_takes_xla_path():
     assert out.shape == (2, 100, 32) and out.dtype == x.dtype
 
 
+def test_int8_cross_attention_matches_dequantized_reference():
+    """layers._int8_cross_attention (mul-reduce over int8 caches) must match
+    plain f32 attention over the dequantized caches, and the caches must
+    carry per-position scales that reconstruct K/V to int8 accuracy."""
+    from jiao_liao_speech_recognition_tpu.models.layers import (
+        _int8_cross_attention,
+    )
+
+    rng = np.random.RandomState(5)
+    B, H, Tq, Tk, dh = 2, 3, 1, 17, 8
+    q = jnp.asarray(rng.randn(B, H, Tq, dh).astype(np.float32))
+    k = rng.randn(B, H, Tk, dh).astype(np.float32)
+    v = rng.randn(B, H, Tk, dh).astype(np.float32)
+    kq, ks = Q.quantize_kv(k)
+    vq, vs = Q.quantize_kv(v)
+    lens = np.array([Tk, 11])
+    mask = jnp.asarray(np.arange(Tk)[None, None, None, :] < lens[:, None, None, None])
+
+    got = _int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+
+    kd = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), kd) / np.sqrt(dh)
+    s = np.where(np.asarray(mask), s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, vd)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+    # int8 reconstruction of the original K is within half a step
+    np.testing.assert_allclose(kd, k, atol=0.5 * np.abs(k).max() / 127 + 1e-7)
+
+
+def test_int8_decode_attention_kernel_matches_reference():
+    """Pallas int8 decode-attention kernel (interpret mode here) vs the
+    mul-reduce reference path in layers._int8_cross_attention."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    rng = np.random.RandomState(7)
+    B, H, Tq, Tk, dh = 2, 3, 1, 150, 64
+    q = jnp.asarray(rng.randn(B, H, Tq, dh).astype(np.float32))
+    kq, ks = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    vq, vs = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    lens = jnp.asarray([Tk, 97], jnp.int32)
+    mask = jnp.asarray(
+        np.arange(Tk)[None, None, None, :] < np.asarray(lens)[:, None, None, None]
+    )
+    got = Q.int8_decode_attention(q, kq, ks, vq, vs, lens)
+    # off-TPU _int8_cross_attention runs the mul-reduce reference branch
+    want = L._int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_int8_cross_attention_padded_cache_matches_unpadded():
+    """The kernel-ready 128-padded cache layout (zero scales in padding, valid
+    horizon passed statically as t_enc) must give the same output as the
+    unpadded cache."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    rng = np.random.RandomState(11)
+    B, H, Tq, Tk, dh = 2, 2, 1, 50, 16
+    q = jnp.asarray(rng.randn(B, H, Tq, dh).astype(np.float32))
+    kq, ks = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    vq, vs = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    want = L._int8_cross_attention(q, kq, ks, vq, vs, None, jnp.float32)
+    pad3, pad4 = ((0, 0), (0, 0), (0, 128 - Tk)), ((0, 0), (0, 0), (0, 128 - Tk), (0, 0))
+    got = L._int8_cross_attention(
+        q, jnp.pad(kq, pad4), jnp.pad(ks, pad3), jnp.pad(vq, pad4),
+        jnp.pad(vs, pad3), None, jnp.float32, t_enc=Tk,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_bundle_builds_int8_cross_caches():
+    """init_cache on a quantized tree stores int8 head-major cross caches
+    (at ANY batch size) and bf16 self caches."""
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(6)
+    mel = jnp.asarray(rng.randn(2, 80, 64).astype(np.float32))
+    enc = model.apply({"params": qb.params}, mel, method=model.encode)
+    caches = model.apply(
+        {"params": qb.params}, 2, enc, 8, method=model.init_cache
+    )
+    c0 = caches["block_0"]
+    assert c0["cross"]["k"].dtype == jnp.int8
+    assert c0["cross"]["k"].ndim == 4  # head-major even at batch 2
+    assert "k_scale" in c0["cross"] and c0["cross"]["k_scale"].dtype == jnp.float32
+    assert c0["self"]["k"].dtype != jnp.int8
+    # unquantized tree: bf16 packed cross caches as before
+    caches_ref = model.apply(
+        {"params": bundle.params}, 2, enc, 8, method=model.init_cache
+    )
+    assert caches_ref["block_0"]["cross"]["k"].dtype != jnp.int8
+    assert caches_ref["block_0"]["cross"]["k"].ndim == 3
+
+
 def _tiny_whisper_bundle():
     from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
     from jiao_liao_speech_recognition_tpu.utils.config import (
