@@ -225,7 +225,9 @@ class ModelBundle:
         Decode from a quantized tree also stores the cross-attention KV
         caches int8 with per-position scales (whisper.init_cache +
         layers._int8_cross_attention): they are re-read end to end every
-        step, the other dominant HBM term.
+        step, the other dominant HBM term. The tied embedding/logit table
+        is quantized per vocab row (TiedEmbedding + ops/quant.
+        int8_tied_logits), closing the last large bf16 read of the step.
 
         Whisper-only (the flagship CTC family is encoder-only: nothing is
         weight-read-bound). Returns a NEW bundle; a serving-time transform,
@@ -254,6 +256,19 @@ class ModelBundle:
                     if "bias" in v:
                         dq["bias"] = v["bias"]
                     out["dense_q"] = dq
+                elif (
+                    k == "embed_tokens"
+                    and isinstance(v, dict)
+                    and "embedding" in v
+                ):
+                    # tied embedding/logit table [V, D]: per-VOCAB-ROW int8
+                    # (quantize_int8 scales per column of its input, so feed
+                    # the transpose). The row scale commutes through both
+                    # uses: lookup rows dequantize per token; tied logits
+                    # are (x . E[v]) * s[v]. models/whisper.TiedEmbedding
+                    # dispatches on the embedding_q key.
+                    qT, scale = quantize_int8(jnp.asarray(v["embedding"]).T)
+                    out[k] = {"embedding_q": qT.T, "scale": scale}
                 else:
                     out[k] = walk(v)
             return out

@@ -27,6 +27,61 @@ from ..utils.config import WhisperConfig
 from .layers import MultiHeadAttention, TransformerBlock, length_mask, sinusoidal_positions
 
 
+class TiedEmbedding(nn.Module):
+    """Whisper's tied token embedding + output head (the reference's HF
+    WhisperForConditionalGeneration shares proj_out with embed_tokens).
+
+    Drop-in for nn.Embed with the same param tree ({embedding [V, D] f32})
+    and the same lookup/attend numerics, plus an int8 serving mode: when
+    ModelBundle.quantize() has replaced the subtree with {embedding_q int8
+    [V, D], scale f32 [V]} (per-vocab-row symmetric), lookups gather int8
+    rows and dequantize per token, and attend streams the ROW-major table
+    through ops/quant.int8_tied_logits — the [V, D] bf16 read per decode
+    step (133 MB for large-v3) drops to int8 bytes with no transposed or
+    dequantized copy of the table ever materializing in HBM."""
+
+    num_embeddings: int
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    def _qtree(self):
+        p = self.variables.get("params", {})
+        if not self.is_initializing() and "embedding_q" in p:
+            return p
+        return None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        p = self._qtree()
+        if p is not None:
+            rows = jnp.take(p["embedding_q"], tokens, axis=0).astype(jnp.float32)
+            s = jnp.take(p["scale"], tokens, axis=0).astype(jnp.float32)
+            return (rows * s[..., None]).astype(self.dtype)
+        emb = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.num_embeddings, self.features),
+            jnp.float32,
+        )
+        return jnp.take(emb, tokens, axis=0).astype(self.dtype)
+
+    def attend(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Logits against the (tied) table; x [..., D]. Callers always run
+        __call__ first in the same apply, so the param exists by now."""
+        p = self._qtree()
+        if p is not None:
+            from ..ops.quant import int8_tied_logits
+
+            lead = x.shape[:-1]
+            out = int8_tied_logits(
+                x.reshape(-1, x.shape[-1]), p["embedding_q"], p["scale"]
+            )
+            return out.reshape(*lead, self.num_embeddings)
+        emb = self.variables["params"]["embedding"]
+        # nn.Embed.attend semantics: promote both operands to self.dtype
+        return jnp.dot(x.astype(self.dtype), emb.T.astype(self.dtype))
+
+
 class WhisperEncoder(nn.Module):
     cfg: WhisperConfig
 
@@ -66,7 +121,9 @@ class WhisperDecoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dtype, name="embed_tokens")
+        self.embed_tokens = TiedEmbedding(
+            cfg.vocab_size, cfg.d_model, dtype=dtype, name="embed_tokens"
+        )
         self.embed_positions = self.param(
             "embed_positions",
             nn.initializers.normal(0.02),

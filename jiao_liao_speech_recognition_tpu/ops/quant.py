@@ -163,6 +163,69 @@ def int8_decode_attention(qh, kq, ks, vq, vs, kv_lens):
     return out.reshape(B, H, tq_pad, dh)[:, :, :Tq, :]
 
 
+def _int8_logits_kernel(x_ref, q_ref, s_ref, out_ref):
+    """One vocab-tile of tied-embedding logits: out = (x @ tile^T) * s.
+
+    x_ref [R8, D] bf16; q_ref [TV, D] int8 (ROW-major — the same layout the
+    embedding-lookup gather wants, so no [V, D] -> [D, V] transpose copy of
+    the table ever exists); s_ref [1, TV] f32 per-vocab-row scales."""
+    xf = x_ref[...]
+    qf = q_ref[...].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        xf, qf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [R8, TV]
+    out_ref[...] = s * s_ref[...]
+
+
+def int8_tied_logits(x: jnp.ndarray, q_vd: jnp.ndarray, scale_v: jnp.ndarray):
+    """Decode-step logits against a ROW-major int8 embedding table.
+
+    x [R, D] (R = batch tokens this step), q_vd int8 [V, D] (the tied
+    nn.Embed layout, quantized per vocab row), scale_v f32 [V].
+    Returns f32 [R, V] == (x @ dequant(q_vd).T), streaming the table as
+    int8: contraction runs over q_vd's LAST dim, so the MXU reads the
+    row-major tile directly and no transposed copy is materialized.
+
+    Reference semantics (off-TPU / long teacher-forced rows): dequantize
+    and matmul — see _int8_tied_logits_xla. Mirrors whisper's tied
+    embedding head (HF modeling_whisper proj_out shares embed_tokens)."""
+    R, D = x.shape
+    V = q_vd.shape[0]
+    if D % 128 != 0 or R > MAX_KERNEL_ROWS:
+        return _int8_tied_logits_xla(x, q_vd, scale_v)
+    r_pad = -(-R // 8) * 8
+    tv = _pick_block(-(-V // 128) * 128, (2048, 1024, 512, 256, 128))
+    v_pad = -(-V // tv) * tv
+    xb = jnp.pad(x.astype(jnp.bfloat16), ((0, r_pad - R), (0, 0)))
+    qb = jnp.pad(q_vd, ((0, v_pad - V), (0, 0)))
+    sb = jnp.pad(scale_v.astype(jnp.float32), (0, v_pad - V))[None, :]
+    out = pl.pallas_call(
+        _int8_logits_kernel,
+        grid=(v_pad // tv,),
+        in_specs=[
+            pl.BlockSpec((r_pad, D), lambda v: (0, 0)),
+            pl.BlockSpec((tv, D), lambda v: (v, 0)),
+            pl.BlockSpec((1, tv), lambda v: (0, v)),
+        ],
+        out_specs=pl.BlockSpec((r_pad, tv), lambda v: (0, v)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, v_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_pad * v_pad * D,
+            bytes_accessed=v_pad * D + 4 * v_pad + 2 * r_pad * D,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xb, qb, sb)
+    return out[:R, :V]
+
+
+def _int8_tied_logits_xla(x, q_vd, scale_v):
+    """Dequantize-and-matmul reference: correct everywhere; used for long
+    teacher-forced rows where the MXU amortizes the one-off dequant."""
+    w = q_vd.astype(jnp.float32) * scale_v[:, None].astype(jnp.float32)
+    return jnp.dot(x.astype(jnp.float32), w.T)
+
+
 def _int8_matmul_xla(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
     """Reference/fallback: dequantized bf16 matmul (materializes the bf16
     weights — correct everywhere, fast only where compute dominates)."""

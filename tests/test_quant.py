@@ -126,6 +126,65 @@ def test_int8_cross_attention_padded_cache_matches_unpadded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_int8_tied_logits_matches_dequantized_reference():
+    """Row-major int8 logits kernel (interpret here) vs dequantize+matmul,
+    at a 128-multiple D (kernel path) and a ragged D (XLA fallback)."""
+    rng = np.random.RandomState(13)
+    for D in (128, 96):
+        R, V = 3, 300  # V deliberately not a 128 multiple
+        x = jnp.asarray(rng.randn(R, D).astype(np.float32))
+        emb = rng.randn(V, D).astype(np.float32)
+        qT, s = Q.quantize_int8(jnp.asarray(emb).T)
+        q_vd = qT.T
+        got = Q.int8_tied_logits(x, q_vd, s)
+        want = np.asarray(x) @ (
+            np.asarray(q_vd, np.float32) * np.asarray(s)[:, None]
+        ).T
+        assert got.shape == (R, V)
+        # kernel computes in bf16: abs error scales with ||x||*||row||
+        # (~11 here), not with the logit value -> atol-dominated bound
+        np.testing.assert_allclose(np.asarray(got), want, atol=0.12, rtol=1e-2)
+
+
+def test_tied_embedding_matches_nn_embed():
+    """Unquantized TiedEmbedding must be a drop-in for nn.Embed: same param
+    tree and same lookup/attend numerics given the same table."""
+    import flax.linen as nn
+
+    from jiao_liao_speech_recognition_tpu.models.whisper import TiedEmbedding
+
+    rng = np.random.RandomState(15)
+    V, D = 40, 16
+    tokens = jnp.asarray(rng.randint(0, V, (2, 5)))
+    x = jnp.asarray(rng.randn(2, 5, D).astype(np.float32))
+    tied = TiedEmbedding(V, D, dtype=jnp.float32)
+    ref = nn.Embed(V, D, dtype=jnp.float32)
+    params = ref.init(jax.random.PRNGKey(0), tokens)
+    assert set(params["params"].keys()) == {"embedding"}
+    out_t = tied.apply(params, tokens)
+    out_r = ref.apply(params, tokens)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_r))
+    att_t = tied.apply(params, x, method=tied.attend)
+    att_r = ref.apply(params, x, method=ref.attend)
+    np.testing.assert_allclose(
+        np.asarray(att_t), np.asarray(att_r), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_quantized_bundle_embeds_int8_table():
+    """quantize() converts embed_tokens to {embedding_q, scale}; lookups
+    and logits stay int8-close to the bf16 table."""
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    et = qb.params["decoder"]["embed_tokens"]
+    assert set(et.keys()) == {"embedding_q", "scale"}
+    assert et["embedding_q"].dtype == jnp.int8
+    ref = np.asarray(bundle.params["decoder"]["embed_tokens"]["embedding"])
+    deq = np.asarray(et["embedding_q"], np.float32) * np.asarray(et["scale"])[:, None]
+    step = np.abs(ref).max(axis=1, keepdims=True) / 127
+    assert np.all(np.abs(deq - ref) <= 0.5 * step + 1e-7)
+
+
 def test_quantized_bundle_builds_int8_cross_caches():
     """init_cache on a quantized tree stores int8 head-major cross caches
     (at ANY batch size) and bf16 self caches."""
