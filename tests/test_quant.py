@@ -296,6 +296,28 @@ def test_bundle_quantize_decode_step_runs():
     assert int(gn[0]) >= 0
 
 
+def test_bundle_quantize_beam_generate_runs():
+    """Beam search against the quantized tree: gather_beams must reorder the
+    int8 cross caches (int8 k/v + f32 per-position scale leaves, all
+    batch-major — a scalar leaf in the cache dict would crash the
+    take_along_axis gather here)."""
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        beam_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(8)
+    mel = jnp.asarray(rng.randn(2, 80, 64).astype(np.float32))
+    gen, lens = beam_generate(
+        model, qb.params, mel, beam_size=2, max_len=6, prompt=(1, 2)
+    )
+    assert gen.shape[0] == 2 and lens.shape == (2,)
+    assert np.all(np.asarray(lens) >= 0)
+
+
 def test_quantize_non_whisper_raises():
     from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
     from jiao_liao_speech_recognition_tpu.utils.config import ExperimentConfig
