@@ -194,7 +194,10 @@ def int8_tied_logits(x: jnp.ndarray, q_vd: jnp.ndarray, scale_v: jnp.ndarray):
     if D % 128 != 0 or R > MAX_KERNEL_ROWS:
         return _int8_tied_logits_xla(x, q_vd, scale_v)
     r_pad = -(-R // 8) * 8
-    tv = _pick_block(-(-V // 128) * 128, (2048, 1024, 512, 256, 128))
+    # the table is padded to the tile anyway, so take a big tile outright:
+    # 1024x1280 int8 = 1.3 MB/program (deep DMA pipelining, ~51 programs at
+    # large-v3 V=51866) while staying well under VMEM with double buffering
+    tv = min(1024, -(-V // 128) * 128)
     v_pad = -(-V // tv) * tv
     xb = jnp.pad(x.astype(jnp.bfloat16), ((0, r_pad - R), (0, 0)))
     qb = jnp.pad(q_vd, ((0, v_pad - V), (0, 0)))
