@@ -91,6 +91,9 @@ def cmd_evaluate(args) -> int:
     from .evals import corpus_cer, corpus_wer
 
     bundle = load(checkpoint=args.checkpoint, config=args.config)
+    if getattr(args, "int8", False):
+        # measure the serving quantization's CER/WER cost vs the bf16 tree
+        bundle = bundle.quantize()
     decode_cfg = dataclasses.replace(
         bundle.config.decode, strategy=args.decode, beam_size=args.beam_size,
         lm_path=args.lm_path or bundle.config.decode.lm_path,
@@ -272,6 +275,11 @@ def main(argv=None) -> int:
     pe.add_argument("--beam-size", type=int, default=8)
     pe.add_argument("--lm-path", default="", help="n-gram LM .npz for shallow fusion")
     pe.add_argument("--lm-weight", type=float, default=None)
+    pe.add_argument(
+        "--int8", action="store_true",
+        help="evaluate the int8-quantized serving tree (whisper): CER/WER "
+        "cost of ModelBundle.quantize() vs the bf16 checkpoint",
+    )
     pe.set_defaults(fn=cmd_evaluate)
 
     pl = sub.add_parser("train-lm", help="char n-gram LM over manifests (fusion)")

@@ -79,3 +79,35 @@ def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
     assert rc == 0
     feats = np.load(tmp / "f.npy")
     assert feats.shape[1] == 80
+
+
+def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
+    """evaluate --int8 quantizes the whisper serving tree and reports CER/WER
+    through the full int8 decode path (weights + KV caches + logit table)."""
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import WhisperConfig
+
+    tmp = cli_env
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=64, d_model=64, encoder_layers=1, decoder_layers=1,
+            num_heads=2, mlp_dim=128, max_source_positions=64,
+            max_target_positions=16,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 1.28
+    params = ModelBundle._init_params(cfg)
+    bundle = ModelBundle(
+        config=cfg, params=params, tokenizer=CharTokenizer(list("你好世界"))
+    )
+    ckpt = tmp_path / "wq"
+    bundle.save(str(ckpt))
+    rc = cli.main([
+        "evaluate", "--manifest", str(tmp / "train.jsonl"),
+        "--checkpoint", str(ckpt), "--batch-size", "4", "--int8",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["utterances"] == 4 and res["cer"] >= 0.0
