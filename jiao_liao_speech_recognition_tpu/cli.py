@@ -67,7 +67,11 @@ def cmd_transcribe(args) -> int:
     if getattr(args, "int8", False):
         # weight-only int8 decoder for HBM-bound AR serving (whisper family;
         # ModelBundle.quantize, ops/quant.py)
-        bundle = bundle.quantize()
+        try:
+            bundle = bundle.quantize()
+        except NotImplementedError as e:
+            print(f"error: --int8: {e}", file=sys.stderr)
+            return 2
     decode_cfg = bundle.config.decode
     if args.strategy or args.beam_size is not None:
         decode_cfg = dataclasses.replace(
@@ -93,7 +97,11 @@ def cmd_evaluate(args) -> int:
     bundle = load(checkpoint=args.checkpoint, config=args.config)
     if getattr(args, "int8", False):
         # measure the serving quantization's CER/WER cost vs the bf16 tree
-        bundle = bundle.quantize()
+        try:
+            bundle = bundle.quantize()
+        except NotImplementedError as e:
+            print(f"error: --int8: {e}", file=sys.stderr)
+            return 2
     decode_cfg = dataclasses.replace(
         bundle.config.decode, strategy=args.decode, beam_size=args.beam_size,
         lm_path=args.lm_path or bundle.config.decode.lm_path,

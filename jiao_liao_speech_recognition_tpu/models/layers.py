@@ -108,7 +108,7 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
         kv_lens = jnp.full((B,), min(t_enc, Tk), jnp.int32)
     else:
         kv_lens = jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1)
-    if jax.default_backend() == "tpu" and Tq <= 8:
+    if _on_tpu() and Tq <= 8:  # patchable gate: tests force this dispatch
         from ..ops.quant import int8_decode_attention
 
         return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(dtype)
@@ -171,25 +171,20 @@ class MultiHeadAttention(nn.Module):
             q = WFDense(self.d_model, wf, self.dtype, name="q_proj")(x)
             B, Tq = q.shape[0], q.shape[1]
             qh = q.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
+            o = None
             if kv_cache is not None and kv is not None:
                 # cross-attention: reuse the precomputed encoder K/V
                 if "k_scale" in kv_cache:
                     # int8 cross cache (quantized serving bundle). The cache
                     # is 128-padded past the real encoder length; `kv` is the
                     # unpadded encoder output, so its static T is the valid
-                    # horizon when the caller passes no length mask.
+                    # horizon when the caller passes no length mask. Falls
+                    # through to the shared out-proj tail below.
                     o = _int8_cross_attention(
                         qh, kv_cache["k"], kv_cache["k_scale"],
                         kv_cache["v"], kv_cache["v_scale"], mask, self.dtype,
                         t_enc=kv.shape[1],
-                    )
-                    out = o.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
-                    out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
-                    if self.dropout > 0:
-                        out = nn.Dropout(self.dropout)(
-                            out, deterministic=deterministic
-                        )
-                    return out, kv_cache
+                    ).astype(self.dtype)
                 k4, v4 = kv_cache["k"], kv_cache["v"]
                 new_cache = kv_cache
             else:
@@ -204,16 +199,17 @@ class MultiHeadAttention(nn.Module):
                     kv_cache["v"], vh.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
                 )
                 new_cache = {"k": k4, "v": v4}
-            scale = 1.0 / np.sqrt(dh)
-            s = jnp.einsum(
-                "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
-            ) * scale
-            if mask is not None:
-                s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
-            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
-            o = jnp.einsum(
-                "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32
-            ).astype(self.dtype)
+            if o is None:
+                scale = 1.0 / np.sqrt(dh)
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
+                ) * scale
+                if mask is not None:
+                    s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+                p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+                o = jnp.einsum(
+                    "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32
+                ).astype(self.dtype)
             out = o.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
             out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
             if self.dropout > 0:

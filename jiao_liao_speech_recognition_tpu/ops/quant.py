@@ -93,7 +93,10 @@ def _int8_decode_attn_kernel(
     )  # [tq_pad, tk_pad]
     s = s * (ks_ref[0] * scale)  # ks_ref block [1, 1, tk_pad] -> [1, tk_pad]
     idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(idx < length, s, -jnp.inf)
+    # finfo.min (not -inf) keeps a zero-length row finite (uniform softmax)
+    # instead of NaN from exp(-inf - -inf) — matching the mul-reduce
+    # reference branch in models/layers._int8_cross_attention
+    s = jnp.where(idx < length, s, jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -187,12 +190,22 @@ def int8_tied_logits(x: jnp.ndarray, q_vd: jnp.ndarray, scale_v: jnp.ndarray):
     row-major tile directly and no transposed copy is materialized.
 
     Reference semantics (off-TPU / long teacher-forced rows): dequantize
-    and matmul — see _int8_tied_logits_xla. Mirrors whisper's tied
+    to bf16 and matmul — see _int8_tied_logits_xla. Mirrors whisper's tied
     embedding head (HF modeling_whisper proj_out shares embed_tokens)."""
     R, D = x.shape
-    V = q_vd.shape[0]
-    if D % 128 != 0 or R > MAX_KERNEL_ROWS:
+    if (
+        jax.default_backend() != "tpu"
+        or D % 128 != 0
+        or R > MAX_KERNEL_ROWS
+    ):
         return _int8_tied_logits_xla(x, q_vd, scale_v)
+    return _int8_tied_logits_pallas(x, q_vd, scale_v)
+
+
+def _int8_tied_logits_pallas(x, q_vd, scale_v):
+    """The streaming kernel path (interpret mode off-TPU, for tests)."""
+    R, D = x.shape
+    V = q_vd.shape[0]
     r_pad = -(-R // 8) * 8
     # the table is padded to the tile anyway, so take a big tile outright:
     # 1024x1280 int8 = 1.3 MB/program (deep DMA pipelining, ~51 programs at
@@ -223,10 +236,18 @@ def int8_tied_logits(x: jnp.ndarray, q_vd: jnp.ndarray, scale_v: jnp.ndarray):
 
 
 def _int8_tied_logits_xla(x, q_vd, scale_v):
-    """Dequantize-and-matmul reference: correct everywhere; used for long
-    teacher-forced rows where the MXU amortizes the one-off dequant."""
-    w = q_vd.astype(jnp.float32) * scale_v[:, None].astype(jnp.float32)
-    return jnp.dot(x.astype(jnp.float32), w.T)
+    """Dequantize-and-matmul reference: correct everywhere; used off-TPU and
+    for long teacher-forced / large-batch-beam rows where the MXU amortizes
+    the one-off dequant. Dequantizes to BF16 (like _int8_matmul_xla) so the
+    materialized copy is no bigger than the bf16 table the quantization
+    replaces; accumulation stays f32 via preferred_element_type."""
+    w = (q_vd.astype(jnp.float32) * scale_v[:, None].astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _int8_matmul_xla(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):

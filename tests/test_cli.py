@@ -111,3 +111,9 @@ def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["utterances"] == 4 and res["cer"] >= 0.0
+    # --int8 on the CTC family is a clean CLI error, not a traceback
+    rc = cli.main([
+        "evaluate", "--manifest", str(tmp / "train.jsonl"),
+        "--checkpoint", str(tmp / "ckpt" / "final"), "--int8",
+    ])
+    assert rc == 2

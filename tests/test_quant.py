@@ -84,9 +84,11 @@ def test_int8_cross_attention_matches_dequantized_reference():
     np.testing.assert_allclose(kd, k, atol=0.5 * np.abs(k).max() / 127 + 1e-7)
 
 
-def test_int8_decode_attention_kernel_matches_reference():
+def test_int8_decode_attention_kernel_matches_reference(monkeypatch):
     """Pallas int8 decode-attention kernel (interpret mode here) vs the
-    mul-reduce reference path in layers._int8_cross_attention."""
+    mul-reduce reference path in layers._int8_cross_attention. The gate is
+    pinned both ways so this never compares the kernel to itself (even when
+    the suite runs on a TPU host)."""
     from jiao_liao_speech_recognition_tpu.models import layers as L
 
     rng = np.random.RandomState(7)
@@ -98,12 +100,28 @@ def test_int8_decode_attention_kernel_matches_reference():
     mask = jnp.asarray(
         np.arange(Tk)[None, None, None, :] < np.asarray(lens)[:, None, None, None]
     )
-    got = Q.int8_decode_attention(q, kq, ks, vq, vs, lens)
-    # off-TPU _int8_cross_attention runs the mul-reduce reference branch
+    # dispatch branch (layers -> kernel), forced on regardless of backend
+    monkeypatch.setattr(L, "_on_tpu", lambda: True)
+    got = L._int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+    # reference branch, forced off
+    monkeypatch.setattr(L, "_on_tpu", lambda: False)
     want = L._int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_int8_decode_attention_zero_length_row_is_finite():
+    """A zero-length row must give a finite (uniform-softmax) output, not
+    NaN — the kernel masks with finfo.min like the reference branch."""
+    rng = np.random.RandomState(9)
+    B, H, Tq, Tk, dh = 2, 2, 1, 40, 16
+    q = jnp.asarray(rng.randn(B, H, Tq, dh).astype(np.float32))
+    kq, ks = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    vq, vs = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
+    lens = jnp.asarray([0, Tk], jnp.int32)
+    out = np.asarray(Q.int8_decode_attention(q, kq, ks, vq, vs, lens))
+    assert np.all(np.isfinite(out))
 
 
 def test_int8_cross_attention_padded_cache_matches_unpadded():
@@ -136,7 +154,13 @@ def test_int8_tied_logits_matches_dequantized_reference():
         emb = rng.randn(V, D).astype(np.float32)
         qT, s = Q.quantize_int8(jnp.asarray(emb).T)
         q_vd = qT.T
-        got = Q.int8_tied_logits(x, q_vd, s)
+        # call the kernel path directly for the 128-multiple case (the
+        # public entry gates off-TPU to the XLA path); fallback for ragged D
+        got = (
+            Q._int8_tied_logits_pallas(x, q_vd, s)
+            if D % 128 == 0
+            else Q.int8_tied_logits(x, q_vd, s)
+        )
         want = np.asarray(x) @ (
             np.asarray(q_vd, np.float32) * np.asarray(s)[:, None]
         ).T
