@@ -597,11 +597,33 @@ def main() -> None:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    rtfx = section(bench_rtfx)
-    beam_rtfx = section(bench_beam_rtfx, "--no-beam" not in args)
-    bucketed = section(bench_bucketed_rtfx, "--no-bucketed" not in args)
-    steps_per_sec = section(bench_adapter_finetune)
-    parity = section(bench_parity, "--no-parity" not in args)
+    def _device_alive():
+        """Probe the backend in a SUBPROCESS with a hard kill: a wedged
+        remote-relay init hangs inside native gRPC where SIGALRM's Python
+        handler can't run, so an in-process timeout never fires."""
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "assert float(jnp.sum(jnp.ones((4,4)))) == 16.0;"
+                 "print('ALIVE')"],
+                capture_output=True, text=True, timeout=300,
+            )
+            return "ALIVE" in r.stdout
+        except subprocess.TimeoutExpired:
+            return False
+
+    # one cheap upfront probe: if the backend (e.g. the remote TPU relay) is
+    # down, emit the JSON line with nulls in ~5 min instead of burning the
+    # per-section timeout five times over
+    alive = bool(section(_device_alive, timeout_s=330))
+    rtfx = section(bench_rtfx, alive)
+    beam_rtfx = section(bench_beam_rtfx, alive and "--no-beam" not in args)
+    bucketed = section(bench_bucketed_rtfx, alive and "--no-bucketed" not in args)
+    steps_per_sec = section(bench_adapter_finetune, alive)
+    parity = section(bench_parity, alive and "--no-parity" not in args)
 
     out = {
         "metric": "rtfx",
@@ -618,7 +640,7 @@ def main() -> None:
         "train_secs_per_utt": 10.0,
     }
     if "--large" in args:
-        large = section(bench_large_v3_adapter)
+        large = section(bench_large_v3_adapter, alive)
         if large:
             out["large_v3_adapter_steps_per_sec"] = large["steps_per_sec"]
             out["large_v3_peak_hbm_gb"] = large["peak_hbm_gb"]
