@@ -43,6 +43,12 @@ def main():
     for i, a in enumerate(sys.argv):
         if a == "--batches" and i + 1 < len(sys.argv):
             batches = [int(b) for b in sys.argv[i + 1].split(",")]
+    if "--head-major" in sys.argv:
+        # force head-major caches (+ the grouped decode-attention kernel)
+        # at every batch size, to A/B against the packed small-batch layout
+        from jiao_liao_speech_recognition_tpu.models import layers as _layers
+
+        _layers.HEAD_MAJOR_MIN_BATCH = 1
 
     cfg = ExperimentConfig(model_family="whisper", whisper=whisper_preset("large-v3"))
     cfg.frontend = FrontendConfig(num_mels=128)
@@ -54,9 +60,12 @@ def main():
     )
     print(f"init {time.time()-t0:.0f}s", flush=True)
     bundle = ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer([]))
-    t0 = time.time()
-    qparams = bundle.quantize().params
-    print(f"quantize {time.time()-t0:.0f}s", flush=True)
+    if "--bf16-only" in sys.argv:
+        qparams = None
+    else:
+        t0 = time.time()
+        qparams = bundle.quantize().params
+        print(f"quantize {time.time()-t0:.0f}s", flush=True)
 
     fe = cfg.frontend
     secs, max_len = 30.0, 64
@@ -92,8 +101,11 @@ def main():
             flush=True,
         )
 
+    variants = [("bf16", params), ("int8", qparams)]
+    if "--bf16-only" in sys.argv:
+        variants = variants[:1]
     for bsz in batches:
-        for label, p in (("bf16", params), ("int8", qparams)):
+        for label, p in variants:
             try:
                 bench(label, p, bsz)
             except Exception as e:  # B=32 bf16 OOMs by design; keep going

@@ -200,16 +200,45 @@ class MultiHeadAttention(nn.Module):
                 )
                 new_cache = {"k": k4, "v": v4}
             if o is None:
-                scale = 1.0 / np.sqrt(dh)
-                s = jnp.einsum(
-                    "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
-                ) * scale
+                # Mask contract (same as the int8 branch): decode callers
+                # pass PREFIX masks only — decode_step's self mask is
+                # arange(t_cache) <= pos and its cross mask is a length
+                # mask — so validity reduces to a per-row key count. The
+                # mask's Tm may be shorter than the cache's Tk (caches are
+                # 128-padded at build time); positions past Tm are invalid.
+                Tk = k4.shape[2]
                 if mask is not None:
-                    s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
-                p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
-                o = jnp.einsum(
-                    "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32
-                ).astype(self.dtype)
+                    kv_lens = jnp.broadcast_to(
+                        jnp.sum(mask[..., 0, 0, :].astype(jnp.int32), axis=-1),
+                        (B,),
+                    )
+                elif kv is not None:
+                    kv_lens = jnp.full((B,), min(kv.shape[1], Tk), jnp.int32)
+                else:
+                    kv_lens = jnp.full((B,), Tk, jnp.int32)
+                if _on_tpu() and Tq <= 8 and Tk % 128 == 0:
+                    # grouped-head Pallas kernel: streams the bf16 cache at
+                    # memory speed; XLA's batched matvec over the same
+                    # layout measured ~2.5x off the streaming roofline
+                    from ..ops.decode_attention import grouped_decode_attention
+
+                    o = grouped_decode_attention(qh, k4, v4, kv_lens).astype(
+                        self.dtype
+                    )
+                else:
+                    scale = 1.0 / np.sqrt(dh)
+                    s = jnp.einsum(
+                        "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
+                    ) * scale
+                    pmask = (
+                        jnp.arange(Tk)[None, None, None, :]
+                        < kv_lens[:, None, None, None]
+                    )
+                    s = jnp.where(pmask, s, jnp.finfo(jnp.float32).min)
+                    p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+                    o = jnp.einsum(
+                        "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32
+                    ).astype(self.dtype)
             out = o.transpose(0, 2, 1, 3).reshape(B, Tq, self.d_model)
             out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
             if self.dropout > 0:

@@ -219,11 +219,27 @@ class WhisperDecoder(nn.Module):
                     n: a.reshape(batch, t_enc, H, dh).transpose(0, 2, 1, 3)
                     for n, a in cross.items()
                 }
-            self_shape = (
-                (batch, H, t_cache, dh)
-                if head_major
-                else (batch, t_cache, cfg.d_model)
-            )
+                if head_major and not int8_cross:
+                    # store KERNEL-READY for the grouped decode-attention
+                    # kernel (Tk % 128 == 0): pad ONCE at build time —
+                    # padding per step re-copies the whole cache. Padded
+                    # keys are masked off (layers.py derives kv_lens from
+                    # the enc length / mask, never from the cache shape).
+                    t_pad = -(-t_enc // 128) * 128
+                    if t_pad != t_enc:
+                        cross = {
+                            n: jnp.pad(
+                                a, ((0, 0), (0, 0), (0, t_pad - t_enc), (0, 0))
+                            )
+                            for n, a in cross.items()
+                        }
+            if head_major:
+                # round the self horizon to the kernel's 128 granularity
+                # (decode_step's key mask derives from the cache shape, so
+                # the padded tail is always masked off)
+                self_shape = (batch, H, -(-t_cache // 128) * 128, dh)
+            else:
+                self_shape = (batch, t_cache, cfg.d_model)
             if int8_cross:
                 from ..ops.quant import quantize_kv
 

@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .decode_attention import grouped_decode_attention
+
 # rows beyond this take the XLA path: long-sequence (teacher-forced) calls
 # are MXU-bound, where the one-off dequant materialization amortizes
 MAX_KERNEL_ROWS = 64
@@ -75,123 +77,26 @@ def quantize_kv(a: jnp.ndarray):
     return q, scale
 
 
-def _int8_decode_attn_kernel(
-    len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref, *, scale, hg
-):
-    """One (batch, head-group) program of decode attention over int8 K/V.
-
-    q_ref [1, hg, tq_pad, dh] bf16; k_ref/v_ref [1, hg, tk_pad, dh] int8;
-    ks_ref/vs_ref [1, hg, 1, tk_pad] f32 per-position scales (0 in
-    padding); len_ref [B] SMEM valid key lengths. int8 -> bf16 conversion
-    happens on VMEM-resident tiles, so HBM streams 1 byte per cache
-    element.
-
-    Grouping `hg` heads per program is the whole trick: a grid of B*H
-    single-head programs is dominated by per-grid-step DMA issue overhead
-    (5 input streams of ~100-200 KB each — measured ~31x slower than this
-    layout at large-v3 decode shapes, examples/profile_int8_attn_kernel.py),
-    while one program streaming hg heads' caches keeps the DMA pipeline
-    deep. The per-head matmuls unroll at trace time (hg is static)."""
-    b = pl.program_id(0)
-    length = len_ref[b]
-    idx = jax.lax.broadcasted_iota(
-        jnp.int32, (q_ref.shape[2], k_ref.shape[2]), 1
-    )
-    # finfo.min (not -inf) keeps a zero-length row finite (uniform softmax)
-    # instead of NaN from exp(-inf - -inf) — matching the mul-reduce
-    # reference branch in models/layers._int8_cross_attention
-    neg = jnp.finfo(jnp.float32).min
-    for h in range(hg):
-        q = q_ref[0, h]
-        kf = k_ref[0, h].astype(jnp.bfloat16)
-        s = jax.lax.dot_general(
-            q, kf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [tq_pad, tk_pad]
-        s = s * (ks_ref[0, h] * scale)
-        s = jnp.where(idx < length, s, neg)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        pv = (p * vs_ref[0, h]).astype(jnp.bfloat16)
-        o = jax.lax.dot_general(
-            pv, v_ref[0, h].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, h] = o.astype(out_ref.dtype)
-
-
-# VMEM budget for one program's int8 K/V tiles + f32 scale rows. 16 MB
-# physical; leave room for q/out/double-buffering of the next grid step.
-_DECODE_ATTN_VMEM_BUDGET = 8 * 1024 * 1024
-
-
-def _pick_head_group(H: int, tk_pad: int, dh: int) -> int:
-    """Largest divisor of H whose K/V+scale tiles fit the VMEM budget."""
-    per_head = tk_pad * (2 * dh + 8)  # int8 K + int8 V + two f32 scale rows
-    best = 1
-    for hg in range(1, H + 1):
-        if H % hg == 0 and hg * per_head <= _DECODE_ATTN_VMEM_BUDGET:
-            best = hg
-    return best
-
-
 def int8_decode_attention(qh, kq, ks, vq, vs, kv_lens):
     """Decode-step attention over int8 head-major cross caches on TPU.
 
     qh [B, H, Tq<=8, dh] (bf16/f32); kq/vq int8 [B, H, Tk, dh]; ks/vs f32
     [B, H, Tk]; kv_lens int32 [B]. Returns [B, H, Tq, dh] f32.
-    Head-major in, head-major out: blocks slice [B, H, ...] directly (no
-    transpose), unlike the bf16 flash path's [B,T,H,D] layout."""
-    B, H, Tq, dh = qh.shape
+
+    Thin shim over ops/decode_attention.grouped_decode_attention (the
+    grouped-head streaming kernel; see that module for the layout story):
+    128-pads Tk if the caller didn't — a no-op for caches stored
+    kernel-ready by models/whisper.init_cache (scales 0 in padding)."""
     Tk = kq.shape[2]
-    tq_pad = 8
+    kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), Tk)
     tk_pad = -(-Tk // 128) * 128
-    hg = _pick_head_group(H, tk_pad, dh)
-    scale = 1.0 / np.sqrt(dh)
-    qb = jnp.pad(
-        qh.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, tq_pad - Tq), (0, 0))
-    )
-    kb = jnp.pad(kq, ((0, 0), (0, 0), (0, tk_pad - Tk), (0, 0)))
-    vb = jnp.pad(vq, ((0, 0), (0, 0), (0, tk_pad - Tk), (0, 0)))
-    # scales carried as [B, H, 1, tk_pad]: a trailing (1, tk_pad) block
-    # shape is "equal to the array dims" so it passes the Mosaic
-    # (8, 128)-divisibility rule; a 2-D (1, tk_pad) block would not
-    ksb = jnp.pad(
-        ks.astype(jnp.float32)[:, :, None, :],
-        ((0, 0), (0, 0), (0, 0), (0, tk_pad - Tk)),
-    )
-    vsb = jnp.pad(
-        vs.astype(jnp.float32)[:, :, None, :],
-        ((0, 0), (0, 0), (0, 0), (0, tk_pad - Tk)),
-    )
-    lens = jnp.minimum(kv_lens.astype(jnp.int32), Tk)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, H // hg),
-        in_specs=[
-            pl.BlockSpec((1, hg, tq_pad, dh), lambda b, h, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, hg, tk_pad, dh), lambda b, h, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, hg, 1, tk_pad), lambda b, h, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, hg, tk_pad, dh), lambda b, h, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, hg, 1, tk_pad), lambda b, h, lens: (b, h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, hg, tq_pad, dh), lambda b, h, lens: (b, h, 0, 0)
-        ),
-    )
-    out = pl.pallas_call(
-        functools.partial(_int8_decode_attn_kernel, scale=scale, hg=hg),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, tq_pad, dh), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * tq_pad * tk_pad * dh,
-            bytes_accessed=2 * B * H * tk_pad * (dh + 4),
-            transcendentals=B * H * tq_pad * tk_pad,
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(lens, qb, kb, ksb, vb, vsb)
-    return out[:, :, :Tq, :]
+    if tk_pad != Tk:
+        pad3 = ((0, 0), (0, 0), (0, tk_pad - Tk))
+        kq = jnp.pad(kq, pad3 + ((0, 0),))
+        vq = jnp.pad(vq, pad3 + ((0, 0),))
+        ks = jnp.pad(ks, pad3)
+        vs = jnp.pad(vs, pad3)
+    return grouped_decode_attention(qh, kq, vq, kv_lens, k_scale=ks, v_scale=vs)
 
 
 def _int8_logits_kernel(x_ref, q_ref, s_ref, out_ref):
