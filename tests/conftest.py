@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # before test code runs; config.update is the override that sticks.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compile cache: the suite is compile-bound (21 min cold
+# on this 1-core host, dominated by hundreds of small jit compiles), and
+# the cache makes warm reruns skip nearly all of it. Safe across tests —
+# the cache key hashes the computation + platform + device layout.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
