@@ -222,12 +222,13 @@ class ModelBundle:
         [d_out], bias}, which WFDense dequantizes in VMEM per step. The
         encoder stays bf16 — it is MXU-bound and reads its weights once per
         utterance, and its fused sublayer kernels read the unquantized tree.
-        Decode from a quantized tree also stores the cross-attention KV
-        caches int8 with per-position scales (whisper.init_cache +
-        layers._int8_cross_attention): they are re-read end to end every
-        step, the other dominant HBM term. The tied embedding/logit table
-        is quantized per vocab row (TiedEmbedding + ops/quant.
-        int8_tied_logits), closing the last large bf16 read of the step.
+        Decode from a quantized tree also stores the cross-attention AND
+        self-attention KV caches int8 with per-position scales
+        (whisper.init_cache + layers._int8_cross_attention; self rows are
+        quantized as decode writes them): both are re-read end to end
+        every step, the other dominant HBM terms. The tied embedding/
+        logit table is quantized per vocab row (TiedEmbedding + ops/quant.
+        int8_tied_logits) — every large per-token HBM read is int8.
 
         Whisper-only (the flagship CTC family is encoder-only: nothing is
         weight-read-bound). Returns a NEW bundle; a serving-time transform,

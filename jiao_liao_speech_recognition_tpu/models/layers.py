@@ -107,7 +107,11 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
     if mask is None:
         kv_lens = jnp.full((B,), min(t_enc, Tk), jnp.int32)
     else:
-        kv_lens = jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1)
+        # mask rows may broadcast over batch (decode_step's self mask is
+        # [1, 1, 1, T]); the kernel needs one length per batch row
+        kv_lens = jnp.broadcast_to(
+            jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1), (B,)
+        )
     if _on_tpu() and Tq <= 8:  # patchable gate: tests force this dispatch
         from ..ops.quant import int8_decode_attention
 
@@ -192,13 +196,44 @@ class MultiHeadAttention(nn.Module):
                 v = WFDense(self.d_model, wf, self.dtype, name="v_proj")(kv_in)
                 kh = k.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
                 vh = v.reshape(B, Tq, self.num_heads, dh).transpose(0, 2, 1, 3)
-                k4 = jax.lax.dynamic_update_slice(
-                    kv_cache["k"], kh.astype(kv_cache["k"].dtype), (0, 0, cache_index, 0)
-                )
-                v4 = jax.lax.dynamic_update_slice(
-                    kv_cache["v"], vh.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
-                )
-                new_cache = {"k": k4, "v": v4}
+                if "k_scale" in kv_cache:
+                    # int8 SELF cache (quantized serving bundle): quantize
+                    # the step's new K/V rows per key position and update
+                    # cache + scale in place. The self cache re-streams from
+                    # HBM every token while being written one row at a time,
+                    # so int8 halves the dominant read for free (write cost
+                    # is one [B, H, Tq] quantize + two row updates).
+                    from ..ops.quant import quantize_kv
+
+                    kq_new, ks_new = quantize_kv(kh)
+                    vq_new, vs_new = quantize_kv(vh)
+                    new_cache = {
+                        "k": jax.lax.dynamic_update_slice(
+                            kv_cache["k"], kq_new, (0, 0, cache_index, 0)
+                        ),
+                        "k_scale": jax.lax.dynamic_update_slice(
+                            kv_cache["k_scale"], ks_new, (0, 0, cache_index)
+                        ),
+                        "v": jax.lax.dynamic_update_slice(
+                            kv_cache["v"], vq_new, (0, 0, cache_index, 0)
+                        ),
+                        "v_scale": jax.lax.dynamic_update_slice(
+                            kv_cache["v_scale"], vs_new, (0, 0, cache_index)
+                        ),
+                    }
+                    o = _int8_cross_attention(
+                        qh, new_cache["k"], new_cache["k_scale"],
+                        new_cache["v"], new_cache["v_scale"], mask, self.dtype,
+                    ).astype(self.dtype)
+                    k4 = v4 = None
+                else:
+                    k4 = jax.lax.dynamic_update_slice(
+                        kv_cache["k"], kh.astype(kv_cache["k"].dtype), (0, 0, cache_index, 0)
+                    )
+                    v4 = jax.lax.dynamic_update_slice(
+                        kv_cache["v"], vh.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
+                    )
+                    new_cache = {"k": k4, "v": v4}
             if o is None:
                 # Mask contract (same as the int8 branch): decode callers
                 # pass PREFIX masks only — decode_step's self mask is

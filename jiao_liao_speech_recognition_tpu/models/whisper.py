@@ -201,11 +201,11 @@ class WhisperDecoder(nn.Module):
             )
 
         # int8-quantized serving tree (ModelBundle.quantize) => also store
-        # the cross caches int8 with per-position scales: they are re-read
-        # END TO END every decode step (2 GB bf16 for large-v3 at B=8 — the
-        # dominant roofline term once the weights are int8), while being
-        # written exactly once per utterance. Self caches stay bf16 (small
-        # horizon, written per step).
+        # the cross AND self caches int8 with per-position scales: both are
+        # re-read END TO END every decode step (cross is 2 GB bf16 for
+        # large-v3 at B=8 — the dominant roofline term once the weights are
+        # int8). Cross is quantized once per utterance below; self rows are
+        # quantized as decode writes them (layers.MultiHeadAttention).
         int8_cross = _tree_quantized(self.variables.get("params", {}))
         caches = {}
         for i, blk in enumerate(self.blocks):
@@ -233,6 +233,14 @@ class WhisperDecoder(nn.Module):
                             )
                             for n, a in cross.items()
                         }
+            # int8 SELF caches are batch-conditional like the layout: at
+            # B >= 16 they are neutral-to-positive (866 vs 881 tok/s at
+            # B=16) and unlock B=32 (bf16 caches exceed HBM; measured
+            # 886 tok/s), but at B=8 the per-step quantize+row-update
+            # overhead and the shallow (B, H/hg) DMA grid cost 1/3 of the
+            # throughput (537 vs ~800) — small batches keep packed bf16
+            # self + int8 cross, the measured optimum.
+            int8_self = int8_cross and head_major
             if head_major:
                 # round the self horizon to the kernel's 128 granularity
                 # (decode_step's key mask derives from the cache shape, so
@@ -261,11 +269,26 @@ class WhisperDecoder(nn.Module):
                     "v": jnp.pad(vq, pad3 + ((0, 0),)),
                     "v_scale": jnp.pad(vs, pad3),
                 }
-            entry = {
-                "self": {
+            if int8_self:
+                # int8 SELF caches complete the all-int8 per-token HBM
+                # read set (weights, cross K/V, logit table, self K/V):
+                # the self cache is re-read end to end every decode step,
+                # and rows are quantized per position as they are written
+                # (layers.MultiHeadAttention). Zero scales = unwritten
+                # rows dequantize to 0, matching the bf16 zero init.
+                self_cache = {
+                    "k": jnp.zeros(self_shape, jnp.int8),
+                    "k_scale": jnp.zeros(self_shape[:-1], jnp.float32),
+                    "v": jnp.zeros(self_shape, jnp.int8),
+                    "v_scale": jnp.zeros(self_shape[:-1], jnp.float32),
+                }
+            else:
+                self_cache = {
                     "k": jnp.zeros(self_shape, dtype),
                     "v": jnp.zeros(self_shape, dtype),
-                },
+                }
+            entry = {
+                "self": self_cache,
                 "cross": cross,
             }
             if cfg.adapter.kind == "att":

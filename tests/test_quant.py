@@ -209,9 +209,12 @@ def test_quantized_bundle_embeds_int8_table():
     assert np.all(np.abs(deq - ref) <= 0.5 * step + 1e-7)
 
 
-def test_quantized_bundle_builds_int8_cross_caches():
+def test_quantized_bundle_builds_int8_cross_caches(monkeypatch):
     """init_cache on a quantized tree stores int8 head-major cross caches
-    (at ANY batch size) and bf16 self caches."""
+    at ANY batch size; SELF caches stay packed bf16 below the head-major
+    batch threshold (the measured small-batch optimum) and become int8
+    head-major with per-position f32 scales above it."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
     from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
 
     bundle = _tiny_whisper_bundle()
@@ -227,13 +230,24 @@ def test_quantized_bundle_builds_int8_cross_caches():
     assert c0["cross"]["k"].dtype == jnp.int8
     assert c0["cross"]["k"].ndim == 4  # head-major even at batch 2
     assert "k_scale" in c0["cross"] and c0["cross"]["k_scale"].dtype == jnp.float32
-    assert c0["self"]["k"].dtype != jnp.int8
-    # unquantized tree: bf16 packed cross caches as before
+    assert c0["self"]["k"].dtype != jnp.int8  # small batch: packed bf16 self
+    assert c0["self"]["k"].ndim == 3
+    # unquantized tree at small batch: bf16 packed cross caches as before
     caches_ref = model.apply(
         {"params": bundle.params}, 2, enc, 8, method=model.init_cache
     )
     assert caches_ref["block_0"]["cross"]["k"].dtype != jnp.int8
     assert caches_ref["block_0"]["cross"]["k"].ndim == 3
+    # above the head-major threshold: int8 self with scales, kernel-ready
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1)
+    caches_hm = model.apply(
+        {"params": qb.params}, 2, enc, 8, method=model.init_cache
+    )
+    s0 = caches_hm["block_0"]["self"]
+    assert s0["k"].dtype == jnp.int8
+    assert s0["k"].ndim == 4
+    assert s0["k"].shape[-2] % 128 == 0
+    assert "k_scale" in s0 and s0["k_scale"].dtype == jnp.float32
 
 
 def _tiny_whisper_bundle():
@@ -359,3 +373,45 @@ def test_quantize_non_whisper_raises():
     b = ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer([]))
     with pytest.raises(NotImplementedError):
         b.quantize()
+
+
+def test_int8_self_cache_rows_written_quantized(monkeypatch):
+    """decode_step on a quantized tree writes int8 self-cache rows whose
+    dequantized values track the bf16 tree's rows (the projections are
+    themselves int8, so agreement is approximate), with zero scales at
+    unwritten positions. Head-major forced: int8 self caches engage at
+    B >= HEAD_MAJOR_MIN_BATCH."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1)
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(12)
+    mel = jnp.asarray(rng.randn(1, 80, 64).astype(np.float32))
+    tok = jnp.asarray([[3]], jnp.int32)
+
+    def step(params):
+        enc = model.apply({"params": params}, mel, method=model.encode)
+        caches = model.apply(
+            {"params": params}, 1, enc, 8, method=model.init_cache
+        )
+        _, new_caches = model.apply(
+            {"params": params}, tok, jnp.int32(0), enc, caches,
+            method=model.decode_step,
+        )
+        return new_caches["block_0"]["self"]
+
+    sq = step(qb.params)
+    sb = step(bundle.params)
+    assert sq["k"].dtype == jnp.int8
+    ks = np.asarray(sq["k_scale"], np.float32)
+    assert np.all(ks[:, :, 0] > 0) and np.all(ks[:, :, 1:] == 0)
+    deq = np.asarray(sq["k"], np.float32)[0, :, 0] * ks[0, :, 0][:, None]
+    ref = np.asarray(sb["k"], np.float32)
+    # bf16 tree may store self caches packed [B, T, d] or head-major;
+    # normalize to [H, dh] at position 0
+    H, dh = deq.shape
+    ref0 = (ref[0, :, 0] if ref.ndim == 4 else ref[0, 0].reshape(H, dh))
+    np.testing.assert_allclose(deq, ref0, atol=0.15, rtol=0.15)
