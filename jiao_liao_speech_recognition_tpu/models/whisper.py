@@ -245,8 +245,10 @@ class WhisperDecoder(nn.Module):
                 # round the self horizon to the kernel's 128 granularity
                 # (decode_step's key mask derives from the cache shape, so
                 # the padded tail is always masked off)
-                self_shape = (batch, H, -(-t_cache // 128) * 128, dh)
+                t_self = -(-t_cache // 128) * 128
+                self_shape = (batch, H, t_self, dh)
             else:
+                t_self = t_cache
                 self_shape = (batch, t_cache, cfg.d_model)
             if int8_cross:
                 from ..ops.quant import quantize_kv
@@ -293,12 +295,15 @@ class WhisperDecoder(nn.Module):
             }
             if cfg.adapter.kind == "att":
                 # AttAdapter slots carry their own KV caches so decode
-                # attends over the same prefix the trained function saw
+                # attends over the same prefix the trained function saw.
+                # Horizon = t_self, NOT t_cache: the slots share decode_
+                # step's key mask, which is sized to the (possibly
+                # 128-rounded) self-cache horizon.
                 ad_dim = cfg.adapter.att_num_heads * cfg.adapter.att_key_dim
                 entry["slots"] = {
                     s: {
-                        "k": jnp.zeros((batch, t_cache, ad_dim), dtype),
-                        "v": jnp.zeros((batch, t_cache, ad_dim), dtype),
+                        "k": jnp.zeros((batch, t_self, ad_dim), dtype),
+                        "v": jnp.zeros((batch, t_self, ad_dim), dtype),
                     }
                     for s in ("post_attn", "post_mlp")
                 }

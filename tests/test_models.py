@@ -178,3 +178,50 @@ def test_whisper_decode_step_matches_forward_with_adapters(kind):
         )
         err = np.abs(np.asarray(step_logits) - np.asarray(full[:, p])).max()
         assert err < 1e-3, (kind, p, err)
+
+
+def test_whisper_decode_step_att_adapter_head_major(monkeypatch):
+    """AttAdapter decode under HEAD-MAJOR backbone caches: the slot caches
+    must share the 128-rounded self-cache horizon, because decode_step's
+    key mask is sized to the self-cache shape (regression: t_cache-wide
+    slot caches crashed against the rounded mask)."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1)
+    cfg = WhisperConfig(
+        vocab_size=100, d_model=64, encoder_layers=1, decoder_layers=2,
+        num_heads=4, mlp_dim=128, max_target_positions=32, dtype="float32",
+        use_flash_attention=False,
+        adapter=AdapterConfig(kind="att", att_num_heads=2, att_key_dim=8,
+                              dropout=0.0),
+    )
+    model = WhisperModel(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 100))
+    toks = jnp.asarray([[5, 9], [2, 11]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel, toks)["params"]
+    keys = jax.random.split(jax.random.PRNGKey(7), 1000)
+    counter = [0]
+
+    def perturb(kp, x):
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        if param_is_adapter(path):
+            counter[0] += 1
+            return 0.3 * jax.random.normal(keys[counter[0]], x.shape, x.dtype)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(perturb, params)
+    assert counter[0] > 0
+    full = model.apply({"params": params}, mel, toks)
+    enc = model.apply({"params": params}, mel, method=model.encode)
+    caches = model.apply({"params": params}, 2, enc, method=model.init_cache)
+    assert caches["block_0"]["self"]["k"].ndim == 4
+    t_self = caches["block_0"]["self"]["k"].shape[-2]
+    assert t_self % 128 == 0
+    assert caches["block_0"]["slots"]["post_attn"]["k"].shape[1] == t_self
+    for p in range(2):
+        step_logits, caches = model.apply(
+            {"params": params}, toks[:, p : p + 1], jnp.int32(p), enc, caches,
+            method=model.decode_step,
+        )
+        err = np.abs(np.asarray(step_logits) - np.asarray(full[:, p])).max()
+        assert err < 1e-3, (p, err)
