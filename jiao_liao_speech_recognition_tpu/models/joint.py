@@ -193,8 +193,22 @@ class JointCTCAttentionModel(nn.Module):
                     n: a.reshape(batch, t_enc, H, dh).transpose(0, 2, 1, 3)
                     for n, a in cross.items()
                 }
-                self_shape = (batch, H, t_cache, dh)
+                # kernel-ready horizons (see WhisperDecoder.init_cache):
+                # Tk % 128 == 0 routes head-major decode attention through
+                # the grouped streaming kernel; padded once at build time,
+                # masked off via the derived prefix lengths
+                t_pad = -(-t_enc // 128) * 128
+                if t_pad != t_enc:
+                    cross = {
+                        n: jnp.pad(
+                            a, ((0, 0), (0, 0), (0, t_pad - t_enc), (0, 0))
+                        )
+                        for n, a in cross.items()
+                    }
+                t_self = -(-t_cache // 128) * 128
+                self_shape = (batch, H, t_self, dh)
             else:
+                t_self = t_cache
                 self_shape = (batch, t_cache, cfg.d_model)
             entry = {
                 "self": {
@@ -205,10 +219,12 @@ class JointCTCAttentionModel(nn.Module):
             }
             if cfg.adapter.kind == "att":
                 ad_dim = cfg.adapter.att_num_heads * cfg.adapter.att_key_dim
+                # horizon = t_self: the slots share decode_step's key mask,
+                # sized to the (possibly 128-rounded) self-cache horizon
                 entry["slots"] = {
                     s: {
-                        "k": jnp.zeros((batch, t_cache, ad_dim), dtype),
-                        "v": jnp.zeros((batch, t_cache, ad_dim), dtype),
+                        "k": jnp.zeros((batch, t_self, ad_dim), dtype),
+                        "v": jnp.zeros((batch, t_self, ad_dim), dtype),
                     }
                     for s in ("post_attn", "post_mlp")
                 }
