@@ -53,7 +53,6 @@ def main():
     check = "--check" in sys.argv
 
     tk_pad = -(-Tk // 128) * 128
-    rng = np.random.RandomState(0)
 
     def make_inputs(seed):
         r = np.random.RandomState(seed)

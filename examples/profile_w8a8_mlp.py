@@ -16,7 +16,6 @@ and reports max |y_int8 - y_bf16| so the quality cost is visible.
 Usage: python examples/profile_w8a8_mlp.py [--b 128] [--t 1500]
 """
 
-import functools
 import sys
 import time
 

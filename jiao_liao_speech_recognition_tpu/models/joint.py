@@ -194,18 +194,13 @@ class JointCTCAttentionModel(nn.Module):
                     for n, a in cross.items()
                 }
                 # kernel-ready horizons (see WhisperDecoder.init_cache):
-                # Tk % 128 == 0 routes head-major decode attention through
-                # the grouped streaming kernel; padded once at build time,
-                # masked off via the derived prefix lengths
-                t_pad = -(-t_enc // 128) * 128
-                if t_pad != t_enc:
-                    cross = {
-                        n: jnp.pad(
-                            a, ((0, 0), (0, 0), (0, t_pad - t_enc), (0, 0))
-                        )
-                        for n, a in cross.items()
-                    }
-                t_self = -(-t_cache // 128) * 128
+                # Tk % KERNEL_TK == 0 routes head-major decode attention
+                # through the grouped streaming kernel; padded once at
+                # build time, masked off via the derived prefix lengths
+                from ..ops.decode_attention import pad_time_to_tk, round_tk
+
+                cross = {n: pad_time_to_tk(a, 2) for n, a in cross.items()}
+                t_self = round_tk(t_cache)
                 self_shape = (batch, H, t_self, dh)
             else:
                 t_self = t_cache

@@ -104,6 +104,13 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
     Tk = kq.shape[2]
     if t_enc is None:
         t_enc = Tk
+    if mask is not None and mask.shape[-2] != 1:
+        # both branches below collapse the mask to one key count per batch
+        # row — a multi-query-row (causal chunk) mask would silently apply
+        # row 0's horizon to every row
+        raise ValueError(
+            "int8 decode attention requires a single-query-row prefix mask"
+        )
     if mask is None:
         kv_lens = jnp.full((B,), min(t_enc, Tk), jnp.int32)
     else:
@@ -113,9 +120,13 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
             jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1), (B,)
         )
     if _on_tpu() and Tq <= 8:  # patchable gate: tests force this dispatch
+        from ..ops.decode_attention import decode_attention_fits, round_tk
         from ..ops.quant import int8_decode_attention
 
-        return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(dtype)
+        if decode_attention_fits(round_tk(Tk), dh, quantized=True):
+            return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(
+                dtype
+            )
     scale = 1.0 / np.sqrt(dh)
     s = (
         jnp.sum(
@@ -235,14 +246,23 @@ class MultiHeadAttention(nn.Module):
                     )
                     new_cache = {"k": k4, "v": v4}
             if o is None:
-                # Mask contract (same as the int8 branch): decode callers
-                # pass PREFIX masks only — decode_step's self mask is
-                # arange(t_cache) <= pos and its cross mask is a length
-                # mask — so validity reduces to a per-row key count. The
-                # mask's Tm may be shorter than the cache's Tk (caches are
-                # 128-padded at build time); positions past Tm are invalid.
+                # Prefix-mask contract: decode callers pass SINGLE-QUERY-ROW
+                # masks (decode_step's self mask is arange(t_cache) <= pos,
+                # its cross mask is a length mask), so validity reduces to
+                # one key count per batch row and the streaming kernel
+                # applies. A multi-row mask (e.g. a causal chunk) keeps the
+                # general einsum+where path. The mask's Tm may be shorter
+                # than the cache's Tk (caches are 128-padded at build
+                # time); positions past Tm are invalid.
+                from ..ops.decode_attention import (
+                    KERNEL_TK,
+                    decode_attention_fits,
+                    grouped_decode_attention,
+                )
+
                 Tk = k4.shape[2]
-                if mask is not None:
+                prefix_mask = mask is None or mask.shape[-2] == 1
+                if mask is not None and prefix_mask:
                     kv_lens = jnp.broadcast_to(
                         jnp.sum(mask[..., 0, 0, :].astype(jnp.int32), axis=-1),
                         (B,),
@@ -251,12 +271,19 @@ class MultiHeadAttention(nn.Module):
                     kv_lens = jnp.full((B,), min(kv.shape[1], Tk), jnp.int32)
                 else:
                     kv_lens = jnp.full((B,), Tk, jnp.int32)
-                if _on_tpu() and Tq <= 8 and Tk % 128 == 0:
+                if (
+                    prefix_mask
+                    and _on_tpu()
+                    and Tq <= 8
+                    and Tk % KERNEL_TK == 0
+                    # f32 models keep the f32 einsum: the kernel streams
+                    # bf16 and would silently downcast the cache
+                    and k4.dtype == jnp.bfloat16
+                    and decode_attention_fits(Tk, dh, quantized=False)
+                ):
                     # grouped-head Pallas kernel: streams the bf16 cache at
                     # memory speed; XLA's batched matvec over the same
                     # layout measured ~2.5x off the streaming roofline
-                    from ..ops.decode_attention import grouped_decode_attention
-
                     o = grouped_decode_attention(qh, k4, v4, kv_lens).astype(
                         self.dtype
                     )
@@ -265,11 +292,17 @@ class MultiHeadAttention(nn.Module):
                     s = jnp.einsum(
                         "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
                     ) * scale
-                    pmask = (
-                        jnp.arange(Tk)[None, None, None, :]
-                        < kv_lens[:, None, None, None]
-                    )
-                    s = jnp.where(pmask, s, jnp.finfo(jnp.float32).min)
+                    if prefix_mask:
+                        kmask = (
+                            jnp.arange(Tk)[None, None, None, :]
+                            < kv_lens[:, None, None, None]
+                        )
+                    else:
+                        # general mask, False-padded out to the cache horizon
+                        kmask = jnp.pad(
+                            mask, ((0, 0),) * 3 + ((0, Tk - mask.shape[-1]),)
+                        )
+                    s = jnp.where(kmask, s, jnp.finfo(jnp.float32).min)
                     p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
                     o = jnp.einsum(
                         "bhqk,bhkd->bhqd", p, v4, preferred_element_type=jnp.float32

@@ -221,18 +221,15 @@ class WhisperDecoder(nn.Module):
                 }
                 if head_major and not int8_cross:
                     # store KERNEL-READY for the grouped decode-attention
-                    # kernel (Tk % 128 == 0): pad ONCE at build time —
+                    # kernel (Tk % KERNEL_TK == 0): pad ONCE at build time —
                     # padding per step re-copies the whole cache. Padded
                     # keys are masked off (layers.py derives kv_lens from
                     # the enc length / mask, never from the cache shape).
-                    t_pad = -(-t_enc // 128) * 128
-                    if t_pad != t_enc:
-                        cross = {
-                            n: jnp.pad(
-                                a, ((0, 0), (0, 0), (0, t_pad - t_enc), (0, 0))
-                            )
-                            for n, a in cross.items()
-                        }
+                    from ..ops.decode_attention import pad_time_to_tk
+
+                    cross = {
+                        n: pad_time_to_tk(a, 2) for n, a in cross.items()
+                    }
             # int8 SELF caches are batch-conditional like the layout: at
             # B >= 16 they are neutral-to-positive (866 vs 881 tok/s at
             # B=16) and unlock B=32 (bf16 caches exceed HBM; measured
@@ -242,10 +239,12 @@ class WhisperDecoder(nn.Module):
             # self + int8 cross, the measured optimum.
             int8_self = int8_cross and head_major
             if head_major:
-                # round the self horizon to the kernel's 128 granularity
+                # round the self horizon to the kernel granularity
                 # (decode_step's key mask derives from the cache shape, so
                 # the padded tail is always masked off)
-                t_self = -(-t_cache // 128) * 128
+                from ..ops.decode_attention import round_tk
+
+                t_self = round_tk(t_cache)
                 self_shape = (batch, H, t_self, dh)
             else:
                 t_self = t_cache
@@ -262,14 +261,13 @@ class WhisperDecoder(nn.Module):
                 # decode_step receives the unpadded encoder output every
                 # step, so layers.py re-derives it statically (keeping every
                 # cache leaf batch-major for beam-search gathers).
-                t_enc = kq.shape[2]
-                t_pad = -(-t_enc // 128) * 128
-                pad3 = ((0, 0), (0, 0), (0, t_pad - t_enc))
+                from ..ops.decode_attention import pad_time_to_tk
+
                 cross = {
-                    "k": jnp.pad(kq, pad3 + ((0, 0),)),
-                    "k_scale": jnp.pad(ks, pad3),
-                    "v": jnp.pad(vq, pad3 + ((0, 0),)),
-                    "v_scale": jnp.pad(vs, pad3),
+                    "k": pad_time_to_tk(kq, 2),
+                    "k_scale": pad_time_to_tk(ks, 2),
+                    "v": pad_time_to_tk(vq, 2),
+                    "v_scale": pad_time_to_tk(vs, 2),
                 }
             if int8_self:
                 # int8 SELF caches complete the all-int8 per-token HBM

@@ -51,6 +51,40 @@ from jax.experimental.pallas import tpu as pltpu
 # examples/profile_int8_attn_kernel.py).
 _DECODE_ATTN_VMEM_BUDGET = 4 * 1024 * 1024
 
+# grid granularity of the key horizon: caches must be stored with
+# Tk % KERNEL_TK == 0 (padded ONCE at build time — per-step padding
+# re-copies the whole cache and erases the streaming win)
+KERNEL_TK = 128
+
+
+def round_tk(t: int) -> int:
+    """Key horizon rounded up to the kernel granularity (cache-build-time
+    sizing for init_cache; see KERNEL_TK)."""
+    return -(-t // KERNEL_TK) * KERNEL_TK
+
+
+def pad_time_to_tk(a, time_axis: int):
+    """Zero-pad `a` along `time_axis` to the kernel granularity (no-op when
+    already aligned). Build-time only — never call per decode step."""
+    t = a.shape[time_axis]
+    t_pad = round_tk(t)
+    if t_pad == t:
+        return a
+    pads = [(0, 0)] * a.ndim
+    pads[time_axis] = (0, t_pad - t)
+    return jnp.pad(a, pads)
+
+
+def _per_head_bytes(Tk: int, dh: int, quantized: bool) -> int:
+    return Tk * (2 * dh + 8) if quantized else Tk * (4 * dh)
+
+
+def decode_attention_fits(Tk: int, dh: int, quantized: bool) -> bool:
+    """True when even a single head's K/V tiles fit the VMEM budget — the
+    dispatch gates consult this so oversized horizons fall back to the XLA
+    path instead of failing the Mosaic compile at serve time."""
+    return _per_head_bytes(Tk, dh, quantized) <= _DECODE_ATTN_VMEM_BUDGET
+
 
 def _pick_head_group(H: int, per_head_bytes: int) -> int:
     """Largest divisor of H whose per-program tiles fit the VMEM budget."""
@@ -125,12 +159,18 @@ def grouped_decode_attention(qh, k, v, kv_lens, k_scale=None, v_scale=None):
     transpose), unlike the bf16 flash path's [B,T,H,D] layout."""
     B, H, Tq, dh = qh.shape
     Tk = k.shape[2]
-    if Tk % 128 != 0:
+    if Tk % KERNEL_TK != 0:
         raise ValueError(f"Tk must be 128-padded at cache build time, got {Tk}")
     quantized = k_scale is not None
+    if not decode_attention_fits(Tk, dh, quantized):
+        # dispatch gates check this first; a raw call with an oversized
+        # horizon would otherwise fail deep in the Mosaic compile
+        raise ValueError(
+            f"one head's K/V tiles (Tk={Tk}, dh={dh}) exceed the VMEM "
+            "budget; route this shape through the XLA path"
+        )
     tq_pad = 8
-    per_head = Tk * (2 * dh + 8) if quantized else Tk * (4 * dh)
-    hg = _pick_head_group(H, per_head)
+    hg = _pick_head_group(H, _per_head_bytes(Tk, dh, quantized))
     scale = 1.0 / np.sqrt(dh)
     qb = jnp.pad(
         qh.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, tq_pad - Tq), (0, 0))

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decode_attention import grouped_decode_attention
+from .decode_attention import grouped_decode_attention, pad_time_to_tk
 
 # rows beyond this take the XLA path: long-sequence (teacher-forced) calls
 # are MXU-bound, where the one-off dequant materialization amortizes
@@ -89,13 +89,8 @@ def int8_decode_attention(qh, kq, ks, vq, vs, kv_lens):
     kernel-ready by models/whisper.init_cache (scales 0 in padding)."""
     Tk = kq.shape[2]
     kv_lens = jnp.minimum(kv_lens.astype(jnp.int32), Tk)
-    tk_pad = -(-Tk // 128) * 128
-    if tk_pad != Tk:
-        pad3 = ((0, 0), (0, 0), (0, tk_pad - Tk))
-        kq = jnp.pad(kq, pad3 + ((0, 0),))
-        vq = jnp.pad(vq, pad3 + ((0, 0),))
-        ks = jnp.pad(ks, pad3)
-        vs = jnp.pad(vs, pad3)
+    kq, vq = pad_time_to_tk(kq, 2), pad_time_to_tk(vq, 2)
+    ks, vs = pad_time_to_tk(ks, 2), pad_time_to_tk(vs, 2)
     return grouped_decode_attention(qh, kq, vq, kv_lens, k_scale=ks, v_scale=vs)
 
 
