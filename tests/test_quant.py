@@ -415,3 +415,28 @@ def test_int8_self_cache_rows_written_quantized(monkeypatch):
     H, dh = deq.shape
     ref0 = (ref[0, :, 0] if ref.ndim == 4 else ref[0, 0].reshape(H, dh))
     np.testing.assert_allclose(deq, ref0, atol=0.15, rtol=0.15)
+
+
+def test_quantized_generate_with_int8_self_caches(monkeypatch):
+    """Greedy AND beam generate run the full int8-SELF cache path (head-major
+    forced): per-step row quantization, prefix-length kernels (interpret
+    here), and beam gathers over the 4-dim int8/scale self-cache leaves."""
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        beam_generate,
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+
+    monkeypatch.setattr(L, "HEAD_MAJOR_MIN_BATCH", 1)
+    bundle = _tiny_whisper_bundle()
+    qb = bundle.quantize()
+    model = WhisperModel(bundle.config.whisper)
+    rng = np.random.RandomState(21)
+    mel = jnp.asarray(rng.randn(2, 80, 64).astype(np.float32))
+    gen, lens = greedy_generate(model, qb.params, mel, max_len=6, prompt=(1, 2))
+    assert gen.shape[0] == 2 and np.all(np.asarray(lens) >= 0)
+    gen_b, lens_b = beam_generate(
+        model, qb.params, mel, beam_size=2, max_len=6, prompt=(1, 2)
+    )
+    assert gen_b.shape[0] == 2 and np.all(np.asarray(lens_b) >= 0)
