@@ -440,3 +440,34 @@ def test_quantized_generate_with_int8_self_caches(monkeypatch):
         model, qb.params, mel, beam_size=2, max_len=6, prompt=(1, 2)
     )
     assert gen_b.shape[0] == 2 and np.all(np.asarray(lens_b) >= 0)
+
+
+def test_quantized_bundle_shards_and_transcribes():
+    """quantize() -> shard() -> transcribe composes on the virtual mesh:
+    the sharding rules must tolerate the int8 dense_q/scale and embedding_q
+    leaves (replicating anything without a TP rule), and the sharded decode
+    must run the quantized serving path end to end."""
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+        WhisperConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=64, d_model=64, encoder_layers=1, decoder_layers=1,
+            num_heads=2, mlp_dim=128, max_source_positions=64,
+            max_target_positions=16,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 1.28
+    params = ModelBundle._init_params(cfg)
+    bundle = ModelBundle(
+        config=cfg, params=params, tokenizer=CharTokenizer(list("你好"))
+    )
+    sq = bundle.quantize().shard()
+    wav = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    texts = sq.transcribe([wav])
+    assert len(texts) == 1 and isinstance(texts[0], str)
