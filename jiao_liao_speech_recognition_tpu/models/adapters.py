@@ -125,12 +125,10 @@ class AttAdapter(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         new_cache = None
         if kv_cache is not None:
-            k = jax.lax.dynamic_update_slice(
-                kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0)
-            )
+            from .layers import update_cache_rows
+
+            k = update_cache_rows(kv_cache["k"], k, cache_index, 1)
+            v = update_cache_rows(kv_cache["v"], v, cache_index, 1)
             new_cache = {"k": k, "v": v}
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]

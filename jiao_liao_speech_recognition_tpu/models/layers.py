@@ -80,6 +80,39 @@ def dot_product_attention(
     )
 
 
+def update_cache_rows(
+    cache: jnp.ndarray, new: jnp.ndarray, index, time_axis: int
+) -> jnp.ndarray:
+    """Write one decode step's K/V rows into a cache at position `index`.
+
+    `index` scalar -> lax.dynamic_update_slice (every batch row shares the
+    position: the offline generate loops in decode/whisper_generate.py).
+    `index` [B] vector -> per-row scatter: continuous-batching serving
+    (serve/engine.py), where each slot sits at its OWN decode position
+    because utterances join the batch mid-flight.
+
+    Handles packed [B, T, ...] caches (time_axis=1), head-major
+    [B, H, T, dh] caches and their [B, H, T] scale planes (time_axis=2).
+    `new`'s time axis must have length 1 (one decode step)."""
+    new = new.astype(cache.dtype)
+    index = jnp.asarray(index, jnp.int32)
+    if index.ndim == 0:
+        starts = tuple(
+            index if a == time_axis else 0 for a in range(cache.ndim)
+        )
+        return jax.lax.dynamic_update_slice(cache, new, starts)
+    B = cache.shape[0]
+    rows = jnp.arange(B)
+    if time_axis == 1:
+        return cache.at[rows, index].set(jnp.squeeze(new, 1))
+    if time_axis == 2:
+        H = cache.shape[1]
+        return cache.at[rows[:, None], jnp.arange(H)[None, :], index[:, None]].set(
+            jnp.squeeze(new, 2)
+        )
+    raise ValueError(f"unsupported cache time_axis {time_axis}")
+
+
 def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
     """Decode-step attention over int8 cross caches (ops/quant.quantize_kv).
 
@@ -219,17 +252,13 @@ class MultiHeadAttention(nn.Module):
                     kq_new, ks_new = quantize_kv(kh)
                     vq_new, vs_new = quantize_kv(vh)
                     new_cache = {
-                        "k": jax.lax.dynamic_update_slice(
-                            kv_cache["k"], kq_new, (0, 0, cache_index, 0)
+                        "k": update_cache_rows(kv_cache["k"], kq_new, cache_index, 2),
+                        "k_scale": update_cache_rows(
+                            kv_cache["k_scale"], ks_new, cache_index, 2
                         ),
-                        "k_scale": jax.lax.dynamic_update_slice(
-                            kv_cache["k_scale"], ks_new, (0, 0, cache_index)
-                        ),
-                        "v": jax.lax.dynamic_update_slice(
-                            kv_cache["v"], vq_new, (0, 0, cache_index, 0)
-                        ),
-                        "v_scale": jax.lax.dynamic_update_slice(
-                            kv_cache["v_scale"], vs_new, (0, 0, cache_index)
+                        "v": update_cache_rows(kv_cache["v"], vq_new, cache_index, 2),
+                        "v_scale": update_cache_rows(
+                            kv_cache["v_scale"], vs_new, cache_index, 2
                         ),
                     }
                     o = _int8_cross_attention(
@@ -238,12 +267,8 @@ class MultiHeadAttention(nn.Module):
                     ).astype(self.dtype)
                     k4 = v4 = None
                 else:
-                    k4 = jax.lax.dynamic_update_slice(
-                        kv_cache["k"], kh.astype(kv_cache["k"].dtype), (0, 0, cache_index, 0)
-                    )
-                    v4 = jax.lax.dynamic_update_slice(
-                        kv_cache["v"], vh.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
-                    )
+                    k4 = update_cache_rows(kv_cache["k"], kh, cache_index, 2)
+                    v4 = update_cache_rows(kv_cache["v"], vh, cache_index, 2)
                     new_cache = {"k": k4, "v": v4}
             if o is None:
                 # Prefix-mask contract: decode callers pass SINGLE-QUERY-ROW
@@ -332,12 +357,8 @@ class MultiHeadAttention(nn.Module):
             v = WFDense(self.d_model, wf, self.dtype, name="v_proj")(kv_in)
             if kv_cache is not None:
                 # self-attention decode step: write k/v at cache_index
-                k = jax.lax.dynamic_update_slice(
-                    kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0)
-                )
-                v = jax.lax.dynamic_update_slice(
-                    kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0)
-                )
+                k = update_cache_rows(kv_cache["k"], k, cache_index, 1)
+                v = update_cache_rows(kv_cache["v"], v, cache_index, 1)
                 new_cache = {"k": k, "v": v}
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]

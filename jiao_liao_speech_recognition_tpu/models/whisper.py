@@ -164,7 +164,13 @@ class WhisperDecoder(nn.Module):
         return logits
 
     # ---------------------------------------------------------------- decode
-    def init_cache(self, batch: int, enc: jnp.ndarray, max_len: Optional[int] = None) -> Dict:
+    def init_cache(
+        self,
+        batch: int,
+        enc: jnp.ndarray,
+        max_len: Optional[int] = None,
+        layout: Optional[str] = None,
+    ) -> Dict:
         """Build per-layer KV caches: zeroed self caches [B, T_cache, d]
         plus cross-attention K/V precomputed ONCE from the encoder output —
         the reference recomputes nothing either (HF static cross cache), and
@@ -191,7 +197,16 @@ class WhisperDecoder(nn.Module):
         H = cfg.num_heads
         dh = cfg.d_model // H
         from . import layers as _layers  # late lookup: patchable in tests
-        head_major = batch >= _layers.HEAD_MAJOR_MIN_BATCH
+        if layout is None:
+            head_major = batch >= _layers.HEAD_MAJOR_MIN_BATCH
+        elif layout in ("packed", "head_major"):
+            # explicit override: the serving engine admits utterances one at
+            # a time into a batch-`slots` cache, so its unit (batch=1)
+            # caches must take the layout the SLOT COUNT picks, not what
+            # batch=1 would
+            head_major = layout == "head_major"
+        else:
+            raise ValueError(f"unknown cache layout {layout!r}")
 
         def _tree_quantized(node):
             if not isinstance(node, dict):
@@ -311,20 +326,36 @@ class WhisperDecoder(nn.Module):
     def decode_step(
         self,
         token: jnp.ndarray,  # [B, 1]
-        pos: jnp.ndarray,  # scalar int32 position
+        pos: jnp.ndarray,  # int32 position: scalar, or [B] per-slot vector
         enc: jnp.ndarray,
         caches: Dict,
         enc_lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict]:
+        """One KV-cached decode step. `pos` is a scalar in the offline
+        generate loops (every row decodes in lockstep); the continuous-
+        batching serving engine (serve/engine.py) passes a [B] vector —
+        each slot sits at its own position because utterances join the
+        batch mid-flight — and every position-dependent op (pos-embed
+        lookup, key mask, cache row writes) is per-row."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
+        pos = jnp.asarray(pos, jnp.int32)
         x = self.embed_tokens(token)
-        x = x + jax.lax.dynamic_slice(
-            self.embed_positions, (pos, 0), (1, cfg.d_model)
-        ).astype(dtype)[None]
-        # mask: keys 0..pos valid, over the actual cache horizon
         t_cache = caches["block_0"]["self"]["k"].shape[-2]
-        kmask = jnp.arange(t_cache)[None, None, None, :] <= pos
+        if pos.ndim == 0:
+            x = x + jax.lax.dynamic_slice(
+                self.embed_positions, (pos, 0), (1, cfg.d_model)
+            ).astype(dtype)[None]
+            # mask: keys 0..pos valid, over the actual cache horizon
+            kmask = jnp.arange(t_cache)[None, None, None, :] <= pos
+        else:
+            x = x + jnp.take(self.embed_positions, pos, axis=0).astype(dtype)[
+                :, None, :
+            ]
+            kmask = (
+                jnp.arange(t_cache)[None, None, None, :]
+                <= pos[:, None, None, None]
+            )
         enc_mask = (
             length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None
         )
@@ -378,5 +409,11 @@ class WhisperModel(nn.Module):
     def decode_step(self, token, pos, enc, caches, enc_lengths=None):
         return self.decoder.decode_step(token, pos, enc, caches, enc_lengths)
 
-    def init_cache(self, batch: int, enc: jnp.ndarray, max_len: Optional[int] = None) -> Dict:
-        return self.decoder.init_cache(batch, enc, max_len)
+    def init_cache(
+        self,
+        batch: int,
+        enc: jnp.ndarray,
+        max_len: Optional[int] = None,
+        layout: Optional[str] = None,
+    ) -> Dict:
+        return self.decoder.init_cache(batch, enc, max_len, layout)

@@ -1,0 +1,354 @@
+"""Continuous-batching serving engine for Whisper AR decode.
+
+The reference serves inference as static batches: transcribe a batch, wait
+for the LONGEST utterance's decode to finish, start the next batch
+(transformers generate(), SURVEY.md 3.2) — short utterances burn decoder
+steps as padding. This engine keeps a fixed pool of `slots` decode lanes
+and admits utterances MID-FLIGHT as lanes free up, the TPU shape of
+vLLM-style continuous batching:
+
+* every shape is static (slot count, cache horizons, token buffers) — one
+  compile, no recompilation as requests come and go;
+* each slot sits at its OWN decode position, so decode_step takes a [S]
+  position VECTOR: pos-embed lookups, key masks, and KV-cache row writes
+  are all per-row (models/whisper.py decode_step, layers.update_cache_rows);
+* admission is a jitted scatter: encode the newcomer once (batch 1),
+  build its unit caches in the SLOT-POOL layout (init_cache layout
+  override), and write row `slot` of every cache leaf, the encoder-output
+  pool, and the token/pos/done lanes;
+* decode runs `steps_per_dispatch` tokens per device dispatch
+  (lax.fori_loop inside one jit) so the ~24 ms relay/dispatch latency
+  amortizes; finished lanes idle at most one dispatch before harvest.
+
+Composes with the int8 serving path: a ModelBundle.quantize()d bundle
+admits int8 cross caches (and int8 self caches when the pool layout is
+head-major), so the HBM-bound decode streams int8 exactly as in offline
+serving (docs/PERFORMANCE.md).
+
+Greedy only: beam serving would multiply every lane by the beam width;
+offline beam stays in decode/whisper_generate.py.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.whisper_generate import _suppression_masks, resolve_specials
+from ..frontend import features
+
+
+@dataclass
+class _Request:
+    rid: int
+    wav: np.ndarray  # padded/trimmed to the model window
+    submitted_at: float
+    started_at: float = 0.0
+    finished_at: float = 0.0
+    text: Optional[str] = None
+
+
+@dataclass
+class ServingStats:
+    """Per-drain serving metrics (examples/serve_bench.py)."""
+
+    completed: int = 0
+    decode_steps: int = 0
+    dispatches: int = 0
+    latencies_s: List[float] = field(default_factory=list)
+
+    @property
+    def mean_latency_s(self) -> float:
+        return float(np.mean(self.latencies_s)) if self.latencies_s else 0.0
+
+    @property
+    def p95_latency_s(self) -> float:
+        return (
+            float(np.percentile(self.latencies_s, 95))
+            if self.latencies_s
+            else 0.0
+        )
+
+
+class ServingEngine:
+    """Continuous-batching greedy transcription over a fixed slot pool.
+
+    Usage::
+
+        eng = ServingEngine(bundle, slots=8)
+        rid = eng.submit(wav)          # non-blocking: queues + admits
+        texts = eng.drain()            # run decode until all requests done
+        # or the one-call form, order-preserving like bundle.transcribe:
+        texts = eng.transcribe([wav1, wav2, ...])
+    """
+
+    def __init__(
+        self,
+        bundle,
+        slots: int = 8,
+        steps_per_dispatch: int = 32,
+        max_len: Optional[int] = None,
+    ):
+        if bundle.config.model_family != "whisper":
+            raise ValueError(
+                "ServingEngine drives AR decode; the CTC family is a "
+                "single forward pass per batch — use bundle.transcribe"
+            )
+        from ..models import layers as _layers
+        from ..models.whisper import WhisperModel
+
+        self.bundle = bundle
+        self.cfg = bundle.config
+        wcfg = self.cfg.whisper
+        self.model = WhisperModel(wcfg)
+        self.slots = int(slots)
+        self.steps_per_dispatch = int(steps_per_dispatch)
+        self.max_len = int(max_len or self.cfg.decode.max_decode_len)
+        self.max_len = min(self.max_len, wcfg.max_target_positions)
+        self.layout = (
+            "head_major"
+            if self.slots >= _layers.HEAD_MAJOR_MIN_BATCH
+            else "packed"
+        )
+        self.prompt, self.eot = resolve_specials(wcfg)
+        self._P = len(self.prompt)
+        sup_always, sup_begin = _suppression_masks(
+            wcfg.vocab_size, wcfg.suppress_ids, wcfg.begin_suppress_ids
+        )
+        self._sup_always, self._sup_begin = sup_always, sup_begin
+        row = np.full((self.max_len,), self.eot, np.int32)
+        row[: self._P] = self.prompt
+        self._fresh_row = jnp.asarray(row)
+
+        # ---------------- jitted device programs (compiled once each)
+        model = self.model
+
+        @jax.jit
+        def _encode1(params, mel1):  # [1, M, T] -> [1, T', d]
+            return model.apply({"params": params}, mel1, method=model.encode)
+
+        @jax.jit
+        def _unit_caches(params, enc1):
+            return model.apply(
+                {"params": params},
+                1,
+                enc1,
+                self.max_len,
+                self.layout,
+                method=model.init_cache,
+            )
+
+        @jax.jit
+        def _admit(caches, enc_all, tokens, pos, done, slot, enc1, unit):
+            caches = jax.tree_util.tree_map(
+                lambda big, one: big.at[slot].set(one[0]), caches, unit
+            )
+            enc_all = enc_all.at[slot].set(enc1[0])
+            tokens = tokens.at[slot].set(self._fresh_row)
+            pos = pos.at[slot].set(0)
+            done = done.at[slot].set(False)
+            return caches, enc_all, tokens, pos, done
+
+        S, P, eot, max_len = self.slots, self._P, self.eot, self.max_len
+
+        @partial(jax.jit, static_argnames=("n",))
+        def _decode_chunk(params, tokens, caches, pos, done, enc_all, n):
+            def body(_, carry):
+                tokens, caches, pos, done = carry
+                tok = jnp.take_along_axis(tokens, pos[:, None], axis=1)
+                logits, caches = model.apply(
+                    {"params": params},
+                    tok,
+                    pos,
+                    enc_all,
+                    caches,
+                    None,
+                    method=model.decode_step,
+                )
+                if sup_always is not None:
+                    logits = logits + sup_always
+                if sup_begin is not None:
+                    is_first = (pos + 1 == P).astype(jnp.float32)
+                    logits = logits + is_first[:, None] * sup_begin
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                is_prompt = pos + 1 < P  # forced decoding of the prompt
+                cur_next = jnp.take_along_axis(
+                    tokens, (pos + 1)[:, None], axis=1
+                )[:, 0]
+                nxt = jnp.where(
+                    done, eot, jnp.where(is_prompt, cur_next, nxt)
+                )
+                active = ~done
+                tokens = tokens.at[jnp.arange(S), pos + 1].set(nxt)
+                done = done | (
+                    active & ~is_prompt & (nxt == eot)
+                ) | (pos + 1 >= max_len - 1)
+                # idle lanes freeze: their cache row rewrites stay put and
+                # their token rows are already EOT-terminated
+                pos = jnp.where(active, pos + 1, pos)
+                return tokens, caches, pos, done
+
+            return jax.lax.fori_loop(
+                0, n, body, (tokens, caches, pos, done)
+            )
+
+        self._encode1 = _encode1
+        self._unit_caches = _unit_caches
+        self._admit = _admit
+        self._decode_chunk = _decode_chunk
+
+        # ---------------- host state (built lazily at first admission —
+        # the cache tree's shapes come from the model's own init_cache)
+        self._caches = None
+        self._enc_all = None
+        self._tokens = None
+        self._pos = None
+        self._done = None
+        self._slot_req: List[Optional[_Request]] = [None] * self.slots
+        self._queue: List[_Request] = []
+        self._results: Dict[int, _Request] = {}
+        self._next_rid = 0
+        self.stats = ServingStats()
+
+    # ------------------------------------------------------------- public API
+    def submit(self, audio, sample_rate: Optional[int] = None) -> int:
+        """Queue one utterance (path / 1-D array at the frontend rate, at
+        most one model window — engine.transcribe handles chunking) and
+        admit it immediately if a lane is free. Returns a request id."""
+        fe = self.cfg.frontend
+        wavs, _ = self.bundle._collect_audio(audio, sample_rate)
+        if len(wavs) != 1:
+            raise ValueError("submit() takes exactly one utterance")
+        wav = features.pad_or_trim(wavs[0], fe)
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid=rid, wav=wav, submitted_at=time.monotonic())
+        self._queue.append(req)
+        self._fill_free_slots()
+        return rid
+
+    def drain(self) -> Dict[int, str]:
+        """Decode until every queued and in-flight request has finished.
+        Returns {request_id: text} for everything completed since the last
+        drain()."""
+        while self._queue or any(r is not None for r in self._slot_req):
+            self._fill_free_slots()
+            self._dispatch_and_harvest()
+        out = {r.rid: r.text for r in self._results.values()}
+        self._results.clear()
+        return out
+
+    def transcribe(self, audios: Sequence, sample_rate=None) -> List[str]:
+        """Order-preserving convenience: submit every utterance (splitting
+        long recordings into model windows and re-joining, matching
+        bundle.transcribe's chunked long-form semantics), drain, return
+        texts."""
+        raw, _ = self.bundle._collect_audio(audios, sample_rate)
+        fe = self.cfg.frontend
+        window = int(fe.chunk_seconds * fe.sample_rate)
+        rids: List[List[int]] = []
+        for a in raw:
+            group = []
+            for s in range(0, max(len(a), 1), window):
+                group.append(self.submit(a[s : s + window]))
+            rids.append(group)
+        texts = self.drain()
+        return ["".join(texts[rid] for rid in group) for group in rids]
+
+    # ---------------------------------------------------------------- internals
+    def _ensure_state(self, unit_caches, enc1):
+        if self._caches is not None:
+            return
+        S = self.slots
+
+        def widen(leaf):
+            return jnp.zeros((S,) + leaf.shape[1:], leaf.dtype)
+
+        self._caches = jax.tree_util.tree_map(widen, unit_caches)
+        self._enc_all = jnp.zeros(
+            (S,) + enc1.shape[1:], enc1.dtype
+        )
+        self._tokens = jnp.tile(self._fresh_row[None], (S, 1))
+        self._pos = jnp.zeros((S,), jnp.int32)
+        self._done = jnp.ones((S,), bool)  # empty lanes are idle
+
+    def _fill_free_slots(self):
+        if not self._queue:
+            return
+        fe = self.cfg.frontend
+        for s in range(self.slots):
+            if not self._queue:
+                break
+            if self._slot_req[s] is not None:
+                continue
+            req = self._queue.pop(0)
+            mel1 = features.featurize_batch(
+                jnp.asarray(req.wav)[None], fe
+            )
+            enc1 = self._encode1(self.bundle.params, mel1)
+            unit = self._unit_caches(self.bundle.params, enc1)
+            self._ensure_state(unit, enc1)
+            (
+                self._caches,
+                self._enc_all,
+                self._tokens,
+                self._pos,
+                self._done,
+            ) = self._admit(
+                self._caches,
+                self._enc_all,
+                self._tokens,
+                self._pos,
+                self._done,
+                jnp.int32(s),
+                enc1,
+                unit,
+            )
+            req.started_at = time.monotonic()
+            self._slot_req[s] = req
+
+    def _dispatch_and_harvest(self):
+        n = self.steps_per_dispatch
+        self._tokens, self._caches, self._pos, self._done = (
+            self._decode_chunk(
+                self.bundle.params,
+                self._tokens,
+                self._caches,
+                self._pos,
+                self._done,
+                self._enc_all,
+                n,
+            )
+        )
+        self.stats.dispatches += 1
+        self.stats.decode_steps += n
+        done = np.asarray(self._done)
+        now = time.monotonic()
+        finished_rows = [
+            s
+            for s in range(self.slots)
+            if done[s] and self._slot_req[s] is not None
+        ]
+        if not finished_rows:
+            return
+        toks = np.asarray(self._tokens[jnp.asarray(finished_rows)])
+        for row, s in enumerate(finished_rows):
+            req = self._slot_req[s]
+            gen = toks[row, self._P :]
+            eots = np.nonzero(gen == self.eot)[0]
+            ln = int(eots[0]) if len(eots) else len(gen)
+            ids = gen[:ln]
+            req.text = self.bundle.tokenizer.decode(
+                [int(i) for i in ids]
+            )
+            req.finished_at = now
+            self.stats.completed += 1
+            self.stats.latencies_s.append(now - req.submitted_at)
+            self._results[req.rid] = req
+            self._slot_req[s] = None
