@@ -229,6 +229,71 @@ def cmd_export_whisper(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Continuous-batching transcription service (serve/engine.py): audio
+    paths from argv and/or stdin (one per line, streaming), results as
+    JSONL in COMPLETION order — short utterances return while long ones
+    are still decoding, instead of waiting for a static batch."""
+    from .api import load
+    from .serve import ServingEngine
+
+    bundle = load(checkpoint=args.checkpoint, config=args.config)
+    if args.int8:
+        try:
+            bundle = bundle.quantize()
+        except NotImplementedError as e:
+            print(f"error: --int8: {e}", file=sys.stderr)
+            return 2
+    try:
+        eng = ServingEngine(
+            bundle, slots=args.slots, steps_per_dispatch=args.steps_per_dispatch
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    paths = {}
+
+    def emit(reqs):
+        for r in reqs:
+            print(
+                json.dumps(
+                    {
+                        "audio": paths[r.rid],
+                        "text": r.text,
+                        "latency_s": round(r.finished_at - r.submitted_at, 4),
+                    },
+                    ensure_ascii=False,
+                ),
+                flush=True,
+            )
+
+    def feed(path):
+        rid = eng.submit(path)
+        paths[rid] = path
+        # lanes saturated: decode now rather than queueing unboundedly
+        while eng.in_flight > eng.slots:
+            emit(eng.step())
+
+    for a in args.audio:
+        feed(a)
+    if args.stdin:
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                feed(line)
+    while eng.in_flight:
+        emit(eng.step())
+    s = eng.stats
+    print(
+        f"served {s.completed} utterances in {s.dispatches} dispatches "
+        f"({s.decode_steps} decode steps); latency mean "
+        f"{s.mean_latency_s:.3f}s p95 {s.p95_latency_s:.3f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_build_native(args) -> int:
     from .utils.native_ext import build_native
 
@@ -333,6 +398,29 @@ def main(argv=None) -> int:
                     help="also compute global-CMVN stats over the train split")
     pp.add_argument("--num-mels", type=int, default=80)
     pp.set_defaults(fn=cmd_prepare)
+
+    ps = sub.add_parser(
+        "serve",
+        help="continuous-batching transcription service (whisper family): "
+        "audio paths from argv/stdin -> JSONL results in completion order",
+    )
+    ps.add_argument("audio", nargs="*", help="audio paths to serve immediately")
+    ps.add_argument("--checkpoint")
+    ps.add_argument("--config")
+    ps.add_argument(
+        "--stdin", action="store_true",
+        help="also read audio paths from stdin, one per line (streaming)",
+    )
+    ps.add_argument("--slots", type=int, default=8, help="decode lanes")
+    ps.add_argument(
+        "--steps-per-dispatch", type=int, default=32,
+        help="decode tokens per device dispatch (amortizes dispatch latency)",
+    )
+    ps.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantize the decoder weights before serving",
+    )
+    ps.set_defaults(fn=cmd_serve)
 
     pn = sub.add_parser("build-native", help="compile C++ host components")
     pn.set_defaults(fn=cmd_build_native)

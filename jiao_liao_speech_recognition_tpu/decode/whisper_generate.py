@@ -347,6 +347,10 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
     prompt, eot = resolve_specials(bundle.config.whisper)
     if decode_cfg.strategy not in ("greedy", "beam", "beam_device"):
         raise ValueError(f"unknown whisper decode strategy {decode_cfg.strategy!r}")
+    # cap the horizon at the position-embedding table: decoding past
+    # max_target_positions silently clamps the pos-embed gather and loops
+    # on the final embedding (HF generate caps the same way)
+    max_len = min(decode_cfg.max_decode_len, bundle.config.whisper.max_target_positions)
     if decode_cfg.strategy in ("beam", "beam_device") and decode_cfg.beam_size > 1:
         lm_bigram = None
         if decode_cfg.lm_path and decode_cfg.lm_weight > 0.0:
@@ -358,7 +362,7 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
             bundle.params,
             mel,
             beam_size=decode_cfg.beam_size,
-            max_len=decode_cfg.max_decode_len,
+            max_len=max_len,
             length_penalty=decode_cfg.length_penalty,
             prompt=prompt,
             eot_id=eot,
@@ -368,7 +372,7 @@ def generate(bundle, mel: jnp.ndarray, decode_cfg: DecodeConfig):
             begin_suppress_ids=bundle.config.whisper.begin_suppress_ids,
         )
     return greedy_generate(
-        model, bundle.params, mel, max_len=decode_cfg.max_decode_len,
+        model, bundle.params, mel, max_len=max_len,
         prompt=prompt, eot_id=eot, temperature=decode_cfg.temperature,
         suppress_ids=bundle.config.whisper.suppress_ids,
         begin_suppress_ids=bundle.config.whisper.begin_suppress_ids,

@@ -66,12 +66,15 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
 
         sup = config.whisper.suppress_ids
         bsup = config.whisper.begin_suppress_ids
+        # cap at the position-embedding table: past max_target_positions the
+        # pos-embed gather clamps and the decoder loops on the last embedding
+        max_len = min(decode_cfg.max_decode_len, config.whisper.max_target_positions)
         if use_beam:
             def run(params, mel):
                 return wg.beam_generate(
                     model, params, mel,
                     beam_size=decode_cfg.beam_size,
-                    max_len=decode_cfg.max_decode_len,
+                    max_len=max_len,
                     length_penalty=decode_cfg.length_penalty,
                     prompt=prompt, eot_id=eot,
                     lm_bigram=lm_bigram, lm_weight=decode_cfg.lm_weight,
@@ -80,7 +83,7 @@ def _whisper_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig)
         else:
             def run(params, mel):
                 return wg.greedy_generate(
-                    model, params, mel, max_len=decode_cfg.max_decode_len,
+                    model, params, mel, max_len=max_len,
                     prompt=prompt, eot_id=eot,
                     temperature=decode_cfg.temperature,
                     suppress_ids=sup, begin_suppress_ids=bsup,

@@ -233,15 +233,36 @@ class ServingEngine:
         self._fill_free_slots()
         return rid
 
+    @property
+    def in_flight(self) -> int:
+        """Requests admitted to lanes or still queued (not yet harvested)."""
+        return sum(r is not None for r in self._slot_req) + len(self._queue)
+
+    def step(self) -> List[_Request]:
+        """One serving tick: admit queued requests into free lanes, run one
+        decode dispatch (steps_per_dispatch tokens), harvest finished lanes.
+        Returns the requests that completed on this tick (each with .rid,
+        .text, and submit/start/finish timestamps) — the streaming-service
+        loop (`cli serve`) calls this as work arrives instead of blocking
+        on a full drain()."""
+        self._fill_free_slots()
+        if not any(r is not None for r in self._slot_req):
+            done = list(self._results.values())
+            self._results.clear()
+            return done
+        self._dispatch_and_harvest()
+        done = list(self._results.values())
+        self._results.clear()
+        return done
+
     def drain(self) -> Dict[int, str]:
         """Decode until every queued and in-flight request has finished.
         Returns {request_id: text} for everything completed since the last
-        drain()."""
+        step()/drain()."""
+        out = {r.rid: r.text for r in self.step()}
         while self._queue or any(r is not None for r in self._slot_req):
-            self._fill_free_slots()
-            self._dispatch_and_harvest()
-        out = {r.rid: r.text for r in self._results.values()}
-        self._results.clear()
+            for req in self.step():
+                out[req.rid] = req.text
         return out
 
     def transcribe(self, audios: Sequence, sample_rate=None) -> List[str]:

@@ -117,3 +117,64 @@ def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
         "--checkpoint", str(tmp / "ckpt" / "final"), "--int8",
     ])
     assert rc == 2
+
+
+def _tiny_whisper_ckpt(tmp_path):
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import WhisperConfig
+
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=64, d_model=64, encoder_layers=1, decoder_layers=1,
+            num_heads=2, mlp_dim=128, max_source_positions=64,
+            max_target_positions=16, prompt_ids=(1, 3), eot_id=2,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 1.28
+    params = ModelBundle._init_params(cfg)
+    bundle = ModelBundle(
+        config=cfg, params=params,
+        tokenizer=CharTokenizer([chr(0x4E00 + i) for i in range(62)]),
+    )
+    ckpt = tmp_path / "wsrv"
+    bundle.save(str(ckpt))
+    return bundle, ckpt
+
+
+def test_cli_serve(cli_env, capsys, tmp_path, monkeypatch):
+    """`serve` streams JSONL results in completion order through the
+    continuous-batching engine and matches offline transcribe texts."""
+    import io
+
+    tmp = cli_env
+    bundle, ckpt = _tiny_whisper_ckpt(tmp_path)
+    wavs = [str(tmp / f"u{i}.wav") for i in range(4)]
+    ref = dict(zip(wavs, bundle.transcribe(wavs)))
+
+    rc = cli.main([
+        "serve", *wavs[:2], "--checkpoint", str(ckpt),
+        "--slots", "2", "--steps-per-dispatch", "4",
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["audio"] for r in recs} == set(wavs[:2])
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(wavs[2:]) + "\n"))
+    rc = cli.main([
+        "serve", *wavs[:2], "--stdin", "--checkpoint", str(ckpt),
+        "--slots", "2", "--steps-per-dispatch", "4",
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {r["audio"] for r in recs} == set(wavs)
+    for r in recs:
+        assert r["text"] == ref[r["audio"]]
+        assert r["latency_s"] >= 0.0
+
+    # CTC family -> clean CLI error
+    rc = cli.main([
+        "serve", wavs[0], "--checkpoint", str(tmp / "ckpt" / "final"),
+    ])
+    assert rc == 2

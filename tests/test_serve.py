@@ -204,6 +204,26 @@ def test_serving_engine_ragged_midflight_admission():
     assert [texts[r0], texts[r1]] == ref
 
 
+def test_serving_engine_step_api():
+    """step() harvests finished requests incrementally (with timestamps),
+    in_flight tracks queued + laned work, and drain() composes on step()."""
+    from jiao_liao_speech_recognition_tpu.serve import ServingEngine
+
+    bundle = _tiny_bundle()
+    wavs = _wavs(3, seed=7)
+    ref = bundle.transcribe(wavs)
+    eng = ServingEngine(bundle, slots=2, steps_per_dispatch=16, max_len=12)
+    assert eng.in_flight == 0 and eng.step() == []
+    rids = [eng.submit(w) for w in wavs]
+    assert eng.in_flight == 3
+    got = {}
+    while eng.in_flight:
+        for req in eng.step():
+            assert req.finished_at >= req.started_at >= req.submitted_at
+            got[req.rid] = req.text
+    assert [got[r] for r in rids] == ref
+
+
 def test_serving_engine_quantized_bundle():
     """quantize() -> ServingEngine composes: int8 decoder weights + int8
     cross caches stream through the slot pool and match the quantized
