@@ -77,9 +77,12 @@ def main():
     waves = [reqs[i : i + slots] for i in range(0, n_req, slots)]
     _ = bundle.transcribe(waves[0])  # warm the B=slots program
     t0 = time.time()
-    static_texts = []
+    static_texts, static_lat = [], []
     for w in waves:
         static_texts.extend(bundle.transcribe(w))
+        # every request in the wave completes when the WAVE completes, and
+        # all N were submitted at t0 — that is the utterance's latency
+        static_lat.extend([time.time() - t0] * len(w))
     static_s = time.time() - t0
 
     # ---- continuous batching ----
@@ -92,13 +95,34 @@ def main():
 
     mism = sum(a != b for a, b in zip(static_texts, cont_texts))
     s = eng.stats
+
+    # decoder-capacity utilization: true decode steps / lane-steps the
+    # hardware actually ran. Static lanes burn max(wave) steps each (the
+    # whole wave waits for its longest decode); continuous lanes idle at
+    # most one dispatch before refill. This is the relay-independent
+    # number — on a local runtime (~0.2 ms dispatch, not the ~24 ms relay
+    # floor that dominates BOTH absolute times above) throughput scales
+    # with it.
+    P = len(eng.prompt)
+    true_steps = [len(t) + P + 1 for t in cont_texts]  # +1 for the EOT
+    static_cap = sum(
+        max(true_steps[i : i + slots]) * len(true_steps[i : i + slots])
+        for i in range(0, n_req, slots)
+    )
+    cont_cap = s.dispatches * spd * slots
     print(
         f"N={n_req} slots={slots} spd={spd} int8={int8}\n"
-        f"static waves: {static_s:.2f}s  ({n_req/static_s:.2f} utt/s)\n"
+        f"static waves: {static_s:.2f}s  ({n_req/static_s:.2f} utt/s)  "
+        f"latency mean {np.mean(static_lat):.3f}s "
+        f"p95 {np.percentile(static_lat, 95):.3f}s\n"
         f"continuous:   {cont_s:.2f}s  ({n_req/cont_s:.2f} utt/s)  "
-        f"speedup {static_s/cont_s:.2f}x\n"
-        f"latency mean {s.mean_latency_s:.3f}s p95 {s.p95_latency_s:.3f}s  "
-        f"dispatches {s.dispatches}  text mismatches {mism}/{n_req}"
+        f"latency mean {s.mean_latency_s:.3f}s p95 {s.p95_latency_s:.3f}s\n"
+        f"throughput ratio {static_s/cont_s:.2f}x  dispatches {s.dispatches}  "
+        f"text mismatches {mism}/{n_req}\n"
+        f"decoder utilization: static {sum(true_steps)/static_cap:.2f} "
+        f"continuous {sum(true_steps)/cont_cap:.2f} "
+        f"(true steps {sum(true_steps)}, static lane-steps {static_cap}, "
+        f"continuous lane-steps {cont_cap})"
     )
 
 

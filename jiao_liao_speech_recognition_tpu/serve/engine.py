@@ -12,10 +12,11 @@ vLLM-style continuous batching:
 * each slot sits at its OWN decode position, so decode_step takes a [S]
   position VECTOR: pos-embed lookups, key masks, and KV-cache row writes
   are all per-row (models/whisper.py decode_step, layers.update_cache_rows);
-* admission is a jitted scatter: encode the newcomer once (batch 1),
-  build its unit caches in the SLOT-POOL layout (init_cache layout
-  override), and write row `slot` of every cache leaf, the encoder-output
-  pool, and the token/pos/done lanes;
+* admission is ONE batched device dispatch per wave: every queued
+  newcomer is featurized + encoded + cache-built together (padded to the
+  slot count, unit caches in the SLOT-POOL layout via the init_cache
+  layout override) and scattered into its lane — per-request dispatches
+  would dominate serving through the ~24 ms relay/dispatch floor;
 * decode runs `steps_per_dispatch` tokens per device dispatch
   (lax.fori_loop inside one jit) so the ~24 ms relay/dispatch latency
   amortizes; finished lanes idle at most one dispatch before harvest.
@@ -128,34 +129,42 @@ class ServingEngine:
 
         # ---------------- jitted device programs (compiled once each)
         model = self.model
+        fe = self.cfg.frontend
+        S, P, eot, max_len = self.slots, self._P, self.eot, self.max_len
+        fresh_row = self._fresh_row
+        layout = self.layout
+        self._window = int(fe.chunk_seconds * fe.sample_rate)
 
-        @jax.jit
-        def _encode1(params, mel1):  # [1, M, T] -> [1, T', d]
-            return model.apply({"params": params}, mel1, method=model.encode)
-
-        @jax.jit
-        def _unit_caches(params, enc1):
-            return model.apply(
-                {"params": params},
-                1,
-                enc1,
-                self.max_len,
-                self.layout,
+        def _prepare(params, wavs):
+            """[S, window] padded audio -> ([S, T', d] encoder outputs,
+            batch-S unit caches in the pool layout)."""
+            mel = features.featurize_batch(wavs, fe)
+            enc = model.apply({"params": params}, mel, method=model.encode)
+            unit = model.apply(
+                {"params": params}, S, enc, max_len, layout,
                 method=model.init_cache,
             )
+            return enc, unit
 
         @jax.jit
-        def _admit(caches, enc_all, tokens, pos, done, slot, enc1, unit):
+        def _admit_batch(params, caches, enc_all, tokens, pos, done,
+                         wavs, slot_ids):
+            """Admit up to S newcomers in ONE dispatch: featurize + encode
+            + cache-build the whole wave batched, then scatter row i into
+            lane slot_ids[i]. Unused rows carry slot_ids[i] == S, which is
+            out of range — JAX drops out-of-bound scatter updates, so they
+            are no-ops (padding rows do waste encoder FLOPs, but the shape
+            stays static and the relay sees one dispatch per admission
+            round instead of four per REQUEST)."""
+            enc, unit = _prepare(params, wavs)
             caches = jax.tree_util.tree_map(
-                lambda big, one: big.at[slot].set(one[0]), caches, unit
+                lambda big, u: big.at[slot_ids].set(u), caches, unit
             )
-            enc_all = enc_all.at[slot].set(enc1[0])
-            tokens = tokens.at[slot].set(self._fresh_row)
-            pos = pos.at[slot].set(0)
-            done = done.at[slot].set(False)
+            enc_all = enc_all.at[slot_ids].set(enc)
+            tokens = tokens.at[slot_ids].set(fresh_row)
+            pos = pos.at[slot_ids].set(0)
+            done = done.at[slot_ids].set(False)
             return caches, enc_all, tokens, pos, done
-
-        S, P, eot, max_len = self.slots, self._P, self.eot, self.max_len
 
         @partial(jax.jit, static_argnames=("n",))
         def _decode_chunk(params, tokens, caches, pos, done, enc_all, n):
@@ -198,18 +207,21 @@ class ServingEngine:
                 0, n, body, (tokens, caches, pos, done)
             )
 
-        self._encode1 = _encode1
-        self._unit_caches = _unit_caches
-        self._admit = _admit
+        self._admit_batch = _admit_batch
         self._decode_chunk = _decode_chunk
 
-        # ---------------- host state (built lazily at first admission —
-        # the cache tree's shapes come from the model's own init_cache)
-        self._caches = None
-        self._enc_all = None
-        self._tokens = None
-        self._pos = None
-        self._done = None
+        # ---------------- pool state: shapes from eval_shape (no compute)
+        enc_sd, unit_sd = jax.eval_shape(
+            _prepare,
+            bundle.params,
+            jax.ShapeDtypeStruct((S, self._window), jnp.float32),
+        )
+        zeros = lambda sd: jnp.zeros(sd.shape, sd.dtype)
+        self._caches = jax.tree_util.tree_map(zeros, unit_sd)
+        self._enc_all = zeros(enc_sd)
+        self._tokens = jnp.tile(self._fresh_row[None], (S, 1))
+        self._pos = jnp.zeros((S,), jnp.int32)
+        self._done = jnp.ones((S,), bool)  # empty lanes are idle
         self._slot_req: List[Optional[_Request]] = [None] * self.slots
         self._queue: List[_Request] = []
         self._results: Dict[int, _Request] = {}
@@ -283,55 +295,43 @@ class ServingEngine:
         return ["".join(texts[rid] for rid in group) for group in rids]
 
     # ---------------------------------------------------------------- internals
-    def _ensure_state(self, unit_caches, enc1):
-        if self._caches is not None:
-            return
-        S = self.slots
-
-        def widen(leaf):
-            return jnp.zeros((S,) + leaf.shape[1:], leaf.dtype)
-
-        self._caches = jax.tree_util.tree_map(widen, unit_caches)
-        self._enc_all = jnp.zeros(
-            (S,) + enc1.shape[1:], enc1.dtype
-        )
-        self._tokens = jnp.tile(self._fresh_row[None], (S, 1))
-        self._pos = jnp.zeros((S,), jnp.int32)
-        self._done = jnp.ones((S,), bool)  # empty lanes are idle
-
     def _fill_free_slots(self):
+        """Admit queued requests into free lanes — the whole wave in one
+        batched device dispatch (_admit_batch)."""
         if not self._queue:
             return
-        fe = self.cfg.frontend
-        for s in range(self.slots):
-            if not self._queue:
-                break
-            if self._slot_req[s] is not None:
-                continue
+        S = self.slots
+        free = [s for s in range(S) if self._slot_req[s] is None]
+        take = min(len(free), len(self._queue))
+        if take == 0:
+            return
+        wavs = np.zeros((S, self._window), np.float32)
+        slot_ids = np.full((S,), S, np.int32)  # S == drop (padding rows)
+        admitted = []
+        for i in range(take):
             req = self._queue.pop(0)
-            mel1 = features.featurize_batch(
-                jnp.asarray(req.wav)[None], fe
-            )
-            enc1 = self._encode1(self.bundle.params, mel1)
-            unit = self._unit_caches(self.bundle.params, enc1)
-            self._ensure_state(unit, enc1)
-            (
-                self._caches,
-                self._enc_all,
-                self._tokens,
-                self._pos,
-                self._done,
-            ) = self._admit(
-                self._caches,
-                self._enc_all,
-                self._tokens,
-                self._pos,
-                self._done,
-                jnp.int32(s),
-                enc1,
-                unit,
-            )
-            req.started_at = time.monotonic()
+            wavs[i] = req.wav
+            slot_ids[i] = free[i]
+            admitted.append((free[i], req))
+        (
+            self._caches,
+            self._enc_all,
+            self._tokens,
+            self._pos,
+            self._done,
+        ) = self._admit_batch(
+            self.bundle.params,
+            self._caches,
+            self._enc_all,
+            self._tokens,
+            self._pos,
+            self._done,
+            jnp.asarray(wavs),
+            jnp.asarray(slot_ids),
+        )
+        now = time.monotonic()
+        for s, req in admitted:
+            req.started_at = now
             self._slot_req[s] = req
 
     def _dispatch_and_harvest(self):
@@ -349,7 +349,11 @@ class ServingEngine:
         )
         self.stats.dispatches += 1
         self.stats.decode_steps += n
-        done = np.asarray(self._done)
+        # ONE host fetch for done + the whole token pool (slots x max_len
+        # int32 — a few KB even at flagship scale). Gathering only the
+        # finished rows would build a fresh gather program per distinct
+        # row count: ~3 s relay compile each, dominating the serve loop.
+        done, toks = jax.device_get((self._done, self._tokens))
         now = time.monotonic()
         finished_rows = [
             s
@@ -358,10 +362,9 @@ class ServingEngine:
         ]
         if not finished_rows:
             return
-        toks = np.asarray(self._tokens[jnp.asarray(finished_rows)])
-        for row, s in enumerate(finished_rows):
+        for s in finished_rows:
             req = self._slot_req[s]
-            gen = toks[row, self._P :]
+            gen = toks[s, self._P :]
             eots = np.nonzero(gen == self.eot)[0]
             ln = int(eots[0]) if len(eots) else len(gen)
             ids = gen[:ln]
