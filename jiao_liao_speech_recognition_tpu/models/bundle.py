@@ -112,10 +112,23 @@ def _joint_generate_fn_for(config: ExperimentConfig, decode_cfg: DecodeConfig):
 
         model = JointCTCAttentionModel(config.joint)
         strategy = decode_cfg.strategy
-        if strategy not in ("greedy", "beam", "beam_device", "ctc_greedy"):
+        if strategy not in (
+            "greedy", "beam", "beam_device", "ctc_greedy", "spec_greedy"
+        ):
             raise ValueError(f"unknown joint decode strategy {strategy!r}")
 
-        if strategy == "ctc_greedy":
+        if strategy == "spec_greedy":
+            from ..decode.speculative import joint_spec_greedy
+
+            def run(params, feats, flens):
+                # CTC-draft speculative decode: same text as `greedy`, the
+                # sequential AR loop replaced by a few parallel verification
+                # passes (decode/speculative.py)
+                return joint_spec_greedy(
+                    model, params, feats, flens,
+                    max_len=decode_cfg.max_decode_len,
+                )
+        elif strategy == "ctc_greedy":
             def run(params, feats, flens):
                 enc, out_lens = model.apply(
                     {"params": params}, feats, flens, method=model.encode

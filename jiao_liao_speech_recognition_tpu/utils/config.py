@@ -240,9 +240,11 @@ class TrainConfig:
 
 @dataclass
 class DecodeConfig:
-    # greedy | beam | beam_device (+ ctc_greedy for the joint family's CTC
-    # branch; greedy/beam there decode the attention branch, beam with CTC
-    # joint rescoring — decode/joint_generate.py)
+    # greedy | beam | beam_device (+ for the joint family: ctc_greedy = the
+    # CTC branch's fused fast path; greedy/beam decode the attention branch,
+    # beam with CTC joint rescoring — decode/joint_generate.py; spec_greedy =
+    # greedy-identical text via CTC-draft speculative verification —
+    # decode/speculative.py)
     strategy: str = "greedy"
     beam_size: int = 8
     # per-frame proposal-set width for CTC prefix beam (host, native C++,
