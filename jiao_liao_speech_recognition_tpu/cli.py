@@ -80,10 +80,43 @@ def cmd_transcribe(args) -> int:
             beam_size=args.beam_size if args.beam_size is not None
             else decode_cfg.beam_size,
         )
+    if getattr(args, "stream", False):
+        return _transcribe_streaming(bundle, args)
     with trace(getattr(args, "profile", None)):
         texts = transcribe(bundle, args.audio, decode_cfg=decode_cfg)
     for path, text in zip(args.audio, texts):
         print(json.dumps({"audio": path, "text": text}, ensure_ascii=False))
+    return 0
+
+
+def _transcribe_streaming(bundle, args) -> int:
+    """Simulate a live stream: feed each file hop-by-hop through the
+    sliding-window transcriber, emitting a partial-result JSON line per hop
+    (committed text + unstable preview) and a final line per file."""
+    from .serve.streaming import StreamingConfig, StreamingTranscriber
+
+    sc = StreamingConfig(
+        window_seconds=args.stream_window,
+        hop_seconds=args.stream_hop,
+        lookahead_seconds=args.stream_lookahead,
+    )
+    for path in args.audio:
+        audio, _ = bundle._collect_audio(path, None)
+        pcm = audio[0]
+        st = StreamingTranscriber(bundle, sc)
+        hop = int(sc.hop_seconds * bundle.config.frontend.sample_rate)
+        for s in range(0, len(pcm), hop):
+            res = st.feed(pcm[s : s + hop])
+            print(
+                json.dumps(
+                    {"audio": path, "t": round((s + hop) / 16000.0, 2),
+                     "partial": res.text, "preview": res.preview},
+                    ensure_ascii=False,
+                ),
+                flush=True,
+            )
+        res = st.finish()
+        print(json.dumps({"audio": path, "text": res.text}, ensure_ascii=False))
     return 0
 
 
@@ -326,7 +359,8 @@ def main(argv=None) -> int:
     pr.add_argument("--config")
     pr.add_argument("--profile", metavar="LOGDIR", help="write an xprof trace")
     pr.add_argument(
-        "--strategy", choices=["greedy", "beam", "beam_device", "ctc_greedy"],
+        "--strategy",
+        choices=["greedy", "beam", "beam_device", "ctc_greedy", "spec_greedy"],
         help="decode strategy override (default: the bundle's config)",
     )
     pr.add_argument("--beam-size", type=int, default=None)
@@ -334,6 +368,17 @@ def main(argv=None) -> int:
         "--int8", action="store_true",
         help="int8-quantize the decoder weights before serving (whisper)",
     )
+    pr.add_argument(
+        "--stream", action="store_true",
+        help="simulate live streaming: sliding-window greedy CTC with "
+        "partial results per hop (serve/streaming.py; ctc/joint families)",
+    )
+    pr.add_argument("--stream-window", type=float, default=10.0,
+                    help="streaming window seconds (default 10)")
+    pr.add_argument("--stream-hop", type=float, default=0.4,
+                    help="streaming hop seconds (default 0.4)")
+    pr.add_argument("--stream-lookahead", type=float, default=0.64,
+                    help="right context before a frame commits (default 0.64)")
     pr.set_defaults(fn=cmd_transcribe)
 
     pe = sub.add_parser("evaluate", help="CER/WER on a manifest")

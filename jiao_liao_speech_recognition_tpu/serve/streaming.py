@@ -1,0 +1,292 @@
+"""Streaming (online) CTC transcription over a sliding window.
+
+Beyond-reference serving capability: the reference's SpeechBrain/Whisper
+stacks decode complete recordings offline (SURVEY.md C14); production
+dialect-ASR serving also needs low-latency partial results while audio is
+still arriving. The whisper family gets continuous batching from
+serve/engine.py; this module is the counterpart for the CTC families, whose
+non-autoregressive head makes streaming natural.
+
+TPU-native shape of the problem: everything the chip sees is ONE jitted
+fixed-shape program — featurize a W-second audio window, run the encoder,
+emit per-frame argmax ids through the fused head kernel — dispatched once
+per hop. No dynamic shapes, no growing sequences, no per-token host syncs:
+the window tensor is [1, W*sr] every step, so XLA compiles exactly one
+executable for the life of the stream. All ragged, stateful work (the
+audio ring buffer, frame-commit accounting, incremental CTC collapse) is
+O(frames/sec) integer bookkeeping and stays on the host.
+
+Commit discipline: the encoder is bidirectional inside the window, so the
+newest frames' posteriors will still change as right-context arrives.
+A frame is COMMITTED (final, never revisited) once it has at least
+`lookahead_seconds` of audio to its right; newer frames are exposed as a
+mutable `preview`. Windows advance in hops that keep the encoder-frame
+grid aligned (window starts are multiples of hop_length*subsample_factor
+samples — the stride-2 conv stack is shift-equivariant at that granularity,
+so a global frame index is well-defined across windows), and the committed
+ids stream through the same collapse rule as decode.ctc.ctc_greedy_collapse
+with the previous frame id carried across window boundaries.
+
+Latency = hop_seconds + lookahead_seconds + one window forward (~ms at
+flagship scale; measured in examples/profile_streaming.py). Exactness: with
+the whole utterance inside one window, finish() reproduces the offline
+transcribe() text bit-for-bit (same features, same length mask —
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+
+from ..frontend import features
+from ..utils.config import ExperimentConfig
+
+
+@dataclass
+class StreamingConfig:
+    """Sliding-window parameters.
+
+    window_seconds: audio context the encoder sees per step. More context =
+      closer to offline quality, linearly more compute per hop.
+    hop_seconds: how often a new window is dispatched; the cadence of
+      partial results. Must be a multiple of the encoder-frame stride
+      (hop_length*subsample_factor samples, 40 ms at the flagship config).
+    lookahead_seconds: right context a frame must have before it is
+      committed. Smaller = lower latency, larger = committed text closer
+      to offline. 0 commits every frame the moment it is computed.
+    """
+
+    window_seconds: float = 10.0
+    hop_seconds: float = 0.4
+    lookahead_seconds: float = 0.64
+
+
+@dataclass
+class StreamingResult:
+    """One feed()/finish() outcome."""
+
+    text: str  # all committed (final) text so far
+    new_text: str  # text committed by THIS call
+    preview: str  # unstable tail past the commit point; will change
+    committed_frames: int  # encoder frames finalized so far
+    is_final: bool = False
+
+
+class StreamingTranscriber:
+    """Incremental greedy-CTC transcription for one audio stream.
+
+    >>> st = StreamingTranscriber(bundle)
+    >>> for pcm in microphone_chunks():      # float32 @ frontend sample_rate
+    ...     res = st.feed(pcm)
+    ...     print(res.text + res.preview)
+    >>> final_text = st.finish().text
+
+    Works for the flagship CTC family and the joint family's CTC branch
+    (model_family "ctc" | "joint"). Whisper's AR decoder needs complete
+    utterances — use serve.engine for that family.
+
+    N concurrent streams batch naturally: their window tensors stack to
+    [N, W*sr] under one jit. This class keeps the single-stream state
+    machine; a pool can share one batched step across instances.
+    """
+
+    def __init__(
+        self,
+        bundle,
+        stream_cfg: Optional[StreamingConfig] = None,
+        blank_id: Optional[int] = None,
+    ):
+        self.bundle = bundle
+        self.cfg = stream_cfg or StreamingConfig()
+        config: ExperimentConfig = bundle.config
+        fe = config.frontend
+        family = config.model_family
+        if family == "ctc":
+            sub = config.ctc_model.subsample_factor
+            max_frames = config.ctc_model.max_frames
+        elif family == "joint":
+            sub = config.joint.subsample_factor
+            max_frames = config.joint.max_frames
+        else:
+            raise ValueError(
+                f"streaming supports the ctc/joint families, not {family!r}; "
+                "whisper serving is serve/engine.py"
+            )
+        self._align = fe.hop_length * sub  # samples per encoder frame
+        self._hop_len = fe.hop_length
+        self._sub = sub
+        sr = fe.sample_rate
+        self._W = int(round(self.cfg.window_seconds * sr))
+        self._hop = int(round(self.cfg.hop_seconds * sr))
+        if self._W % self._align or self._hop % self._align:
+            raise ValueError(
+                f"window/hop must be multiples of the encoder frame stride "
+                f"({self._align} samples = {self._align / sr:.3f} s); got "
+                f"window={self._W}, hop={self._hop}"
+            )
+        if self._W // fe.hop_length > max_frames:
+            raise ValueError(
+                f"window of {self._W // fe.hop_length} mel frames exceeds the "
+                f"model's max_frames={max_frames}"
+            )
+        self._look = int(np.ceil(self.cfg.lookahead_seconds * sr / self._align))
+        if self._W < self._hop + self._look * self._align:
+            raise ValueError(
+                "window_seconds must cover hop_seconds + lookahead_seconds; "
+                f"got window={self._W}, hop={self._hop}, "
+                f"lookahead={self._look} frames"
+            )
+        self.blank_id = (
+            config.decode.ctc_blank_id if blank_id is None else blank_id
+        )
+        self._step = _window_step_fn(config, family)
+
+        # ---- host stream state ------------------------------------------
+        self._buf = np.zeros(0, np.float32)  # samples [base, base+len)
+        self._base = 0  # global sample index of buf[0]
+        self._total = 0  # samples received
+        self._end = 0  # last processed (hop-aligned) window end
+        self._committed = 0  # global encoder frames finalized
+        self._prev_id = -1  # last committed frame id (collapse carry)
+        self._tokens: List[int] = []  # committed token ids
+        self._preview_ids: List[int] = []
+        self._finished = False
+
+    # ------------------------------------------------------------------ api
+    def feed(self, pcm: np.ndarray) -> StreamingResult:
+        """Append audio (float32/float64/int16 mono at the frontend sample
+        rate) and return the updated partial transcript."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            pcm = pcm.astype(np.float32) / 32768.0
+        pcm = np.ascontiguousarray(pcm, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, pcm])
+        self._total += len(pcm)
+        n_before = len(self._tokens)
+        while self._total >= self._end + self._hop:
+            self._end += self._hop
+            self._run_window(self._end, final=False)
+            # keep a full window ending at `end`: the NEXT hop window starts
+            # at end+hop-W, but a finish() between hops can start its final
+            # window as early as aligned_up(total-W) >= end-W — trim to the
+            # earlier of the two
+            keep_from = max(0, self._end - self._W)
+            if keep_from > self._base:
+                self._buf = self._buf[keep_from - self._base :]
+                self._base = keep_from
+        return self._result(n_before, final=False)
+
+    def finish(self) -> StreamingResult:
+        """Flush: commit every remaining frame and return the final text."""
+        if self._finished:
+            raise RuntimeError("stream already finished")
+        n_before = len(self._tokens)
+        if self._total > 0:
+            self._run_window(self._total, final=True)
+        self._finished = True
+        self._preview_ids = []
+        return self._result(n_before, final=True)
+
+    @property
+    def text(self) -> str:
+        return self.bundle.tokenizer.decode(self._tokens)
+
+    # ------------------------------------------------------------- internals
+    def _run_window(self, end: int, final: bool) -> None:
+        # window start on the encoder-frame grid; ceil keeps length <= W
+        start = max(0, -(-(end - self._W) // self._align) * self._align)
+        seg = self._buf[start - self._base : end - self._base]
+        wav = np.zeros((1, self._W), np.float32)
+        wav[0, : len(seg)] = seg
+        nframes = np.asarray([len(seg) // self._hop_len], np.int32)
+        ids, out_lens = self._step(self.bundle.params, wav, nframes)
+        ids = np.asarray(ids[0])
+        e0 = start // self._align
+        n_glob = e0 + int(out_lens[0])
+        cut = n_glob if final else max(self._committed, n_glob - self._look)
+        if cut > self._committed:
+            new = ids[self._committed - e0 : cut - e0]
+            prev = self._prev_id
+            for t in new.tolist():
+                if t != self.blank_id and t != prev:
+                    self._tokens.append(t)
+                prev = t
+            self._prev_id = prev
+            self._committed = cut
+        # unstable tail: collapse continues from the committed carry
+        tail = ids[cut - e0 : n_glob - e0]
+        pv: List[int] = []
+        prev = self._prev_id
+        for t in tail.tolist():
+            if t != self.blank_id and t != prev:
+                pv.append(t)
+            prev = t
+        self._preview_ids = pv
+
+    def _result(self, n_before: int, final: bool) -> StreamingResult:
+        tok = self.bundle.tokenizer
+        return StreamingResult(
+            text=tok.decode(self._tokens),
+            new_text=tok.decode(self._tokens[n_before:]),
+            preview=tok.decode(self._preview_ids),
+            committed_frames=self._committed,
+            is_final=final,
+        )
+
+
+# jitted window programs memoized like models/bundle._ENCODE_FN_CACHE: one
+# executable per (family, model config, window length), shared across streams
+_STEP_CACHE: dict = {}
+
+
+def _window_step_fn(config: ExperimentConfig, family: str):
+    import json
+
+    from ..utils.config import to_dict
+
+    sub = config.ctc_model if family == "ctc" else config.joint
+    key = (
+        "stream",
+        family,
+        json.dumps(to_dict(sub), sort_keys=True),
+        json.dumps(to_dict(config.frontend), sort_keys=True),
+    )
+    fn = _STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    fe = config.frontend
+    if family == "ctc":
+        from ..models.ctc_model import CTCEncoderModel
+
+        model = CTCEncoderModel(config.ctc_model)
+
+        def run(params, wav, nframes):
+            feats = features.featurize_batch(wav, fe)
+            return model.apply(
+                {"params": params}, feats, nframes,
+                deterministic=True, head_mode="argmax_ids",
+            )
+
+    else:
+        from ..models.joint import JointCTCAttentionModel
+
+        model = JointCTCAttentionModel(config.joint)
+
+        def run(params, wav, nframes):
+            feats = features.featurize_batch(wav, fe)
+            enc, out_lens = model.apply(
+                {"params": params}, feats, nframes, method=model.encode
+            )
+            ids = model.apply({"params": params}, enc, method=model.ctc_argmax_ids)
+            return ids, out_lens
+
+    fn = jax.jit(run)
+    _STEP_CACHE[key] = fn
+    return fn

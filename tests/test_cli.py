@@ -80,6 +80,23 @@ def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
     feats = np.load(tmp / "f.npy")
     assert feats.shape[1] == 80
 
+    # --stream: per-hop partial lines then a final {"audio","text"} line,
+    # whose text matches the offline greedy transcribe above
+    capsys.readouterr()
+    rc = cli.main([
+        "transcribe", str(tmp / "u0.wav"),
+        "--checkpoint", str(tmp / "ckpt" / "final"),
+        "--stream", "--stream-window", "2.0", "--stream-hop", "0.32",
+        # lookahead > utterance: every frame commits at finish(), whose
+        # single full window is bit-exact vs the offline chunk
+        "--stream-lookahead", "1.28",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) >= 2 and "partial" in lines[0]
+    assert set(lines[-1]) == {"audio", "text"}
+    assert lines[-1]["text"] == rec["text"]
+
 
 def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
     """evaluate --int8 quantizes the whisper serving tree and reports CER/WER

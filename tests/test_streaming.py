@@ -1,0 +1,222 @@
+"""Streaming CTC transcription (serve/streaming.py).
+
+What must hold:
+
+* plumbing exactness — an utterance that fits in one window must produce,
+  via finish(), byte-identical text to the offline ModelBundle.transcribe
+  greedy path (same features, same length mask, same collapse semantics);
+* chunk-size invariance — how the caller slices the audio into feed()
+  calls must not change the result;
+* commit bookkeeping — with a deterministic fake window-step whose frame
+  ids are a pure function of GLOBAL frame index, the streamed token
+  sequence must equal the offline collapse of that function for every
+  (window, hop, lookahead) combination: no frame skipped, double-committed,
+  or collapsed with the wrong carry across window boundaries;
+* the joint family's CTC branch streams through the same machinery;
+* loud validation errors (whisper family, misaligned hop, window too small,
+  feed after finish).
+"""
+
+import numpy as np
+import pytest
+
+from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+from jiao_liao_speech_recognition_tpu.serve.streaming import (
+    StreamingConfig,
+    StreamingTranscriber,
+)
+from jiao_liao_speech_recognition_tpu.utils.config import (
+    CTCModelConfig,
+    ExperimentConfig,
+    JointModelConfig,
+)
+
+SR = 16000
+ALIGN = 640  # hop_length 160 * subsample 4
+
+
+def _ctc_bundle(vocab_size=8):
+    cfg = ExperimentConfig(
+        model_family="ctc",
+        ctc_model=CTCModelConfig(
+            vocab_size=vocab_size, d_model=32, num_layers=2, num_heads=2,
+            mlp_dim=64, conv_channels=16, use_flash_attention=False,
+            dropout=0.0,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 2.56  # == streaming window for exactness
+    params = ModelBundle._init_params(cfg)
+    vocab = [chr(0x4E00 + i) for i in range(vocab_size - 2)]
+    return ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer(vocab))
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(int(SR * seconds)) * 0.1).astype(np.float32)
+
+
+# ---------------------------------------------------------------- exactness
+def test_finish_matches_offline_single_window():
+    bundle = _ctc_bundle()
+    audio = _audio(1.28)
+    offline = bundle.transcribe(audio)[0]
+    st = StreamingTranscriber(
+        bundle, StreamingConfig(window_seconds=2.56, hop_seconds=2.56,
+                                lookahead_seconds=0.0),
+    )
+    st.feed(audio)
+    res = st.finish()
+    assert res.is_final and res.preview == ""
+    assert res.text == offline
+
+
+def test_chunk_size_invariance():
+    bundle = _ctc_bundle()
+    audio = _audio(3.2, seed=1)
+    sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                         lookahead_seconds=0.16)
+
+    def run(chunks):
+        st = StreamingTranscriber(bundle, sc)
+        partials = []
+        for c in chunks:
+            partials.append(st.feed(c).text)
+            # committed text only grows (it is final by contract)
+            assert partials[-1].startswith(partials[-2] if len(partials) > 1 else "")
+        final = st.finish()
+        return st._tokens, final.text, partials[-1]
+
+    one_tokens, one_text, _ = run([audio])
+    rng = np.random.RandomState(7)
+    cuts = np.sort(rng.randint(1, len(audio), size=9))
+    many_tokens, many_text, many_partial = run(np.split(audio, cuts))
+    assert one_tokens == many_tokens
+    assert one_text == many_text
+    assert many_text.startswith(many_partial)
+
+
+# ---------------------------------------------------- commit bookkeeping
+def _fake_step(params, wav, nframes):
+    """Deterministic window step: frame id = round(1000 * sample at the
+    frame's first sample). The test encodes the GLOBAL frame index into the
+    audio, so any window/offset bug shows up as a wrong or missing token."""
+    wav = np.asarray(wav)
+    n = int(np.asarray(nframes)[0])
+    out_len = (n + 1) // 2
+    out_len = (out_len + 1) // 2
+    ids = np.rint(wav[0, ::ALIGN] * 1000.0).astype(np.int32)
+    return ids[None, :], np.asarray([out_len], np.int32)
+
+
+def _frame_id(e):
+    # runs of 3 with blanks interleaved: 1,1,1, 2,2,2, 0,0,0, 3,3,3, ...
+    r = (e // 3) % 5
+    return 0 if r == 4 else r + 1
+
+
+def _collapse(ids, blank=0):
+    out, prev = [], -1
+    for t in ids:
+        if t != blank and t != prev:
+            out.append(t)
+        prev = t
+    return out
+
+
+@pytest.mark.parametrize(
+    "window,hop,look,n_align,tail",
+    [
+        (2.56, 0.32, 0.16, 40, 0),     # steady-state sliding
+        (2.56, 0.32, 0.0, 40, 300),    # zero lookahead + ragged tail
+        (1.28, 0.64, 0.48, 17, 639),   # deep lookahead, tail just short
+        (2.56, 2.56, 0.0, 11, 100),    # hop == window (block mode)
+    ],
+)
+def test_commit_bookkeeping_fake_step(window, hop, look, n_align, tail):
+    bundle = _ctc_bundle()
+    st = StreamingTranscriber(
+        bundle, StreamingConfig(window_seconds=window, hop_seconds=hop,
+                                lookahead_seconds=look),
+    )
+    st._step = _fake_step
+    total = n_align * ALIGN + tail
+    audio = np.zeros(total, np.float32)
+    for n in range(total):
+        audio[n] = _frame_id(n // ALIGN) / 1000.0
+
+    rng = np.random.RandomState(3)
+    cuts = np.sort(rng.randint(1, total, size=6))
+    committed_before = 0
+    for c in np.split(audio, cuts):
+        res = st.feed(c)
+        assert res.committed_frames >= committed_before  # monotone commits
+        committed_before = res.committed_frames
+    res = st.finish()
+
+    n_mel = total // 160
+    n_frames = ((n_mel + 1) // 2 + 1) // 2
+    expected = _collapse([_frame_id(e) for e in range(n_frames)])
+    assert st._tokens == expected
+    assert res.committed_frames == n_frames
+
+
+# ------------------------------------------------------------ joint family
+def test_joint_family_streams_ctc_branch():
+    cfg = ExperimentConfig(
+        model_family="joint",
+        joint=JointModelConfig(
+            vocab_size=8, d_model=32, num_layers=2, decoder_layers=1,
+            num_heads=2, mlp_dim=64, conv_channels=16,
+            use_flash_attention=False, dropout=0.0,
+        ),
+    )
+    cfg.frontend.chunk_seconds = 1.28
+    cfg.decode.strategy = "ctc_greedy"
+    params = ModelBundle._init_params(cfg)
+    bundle = ModelBundle(
+        config=cfg, params=params,
+        tokenizer=CharTokenizer([chr(0x4E00 + i) for i in range(6)]),
+    )
+    audio = _audio(0.96, seed=2)
+    offline = bundle.transcribe(audio)[0]
+    st = StreamingTranscriber(
+        bundle, StreamingConfig(window_seconds=1.28, hop_seconds=1.28,
+                                lookahead_seconds=0.0),
+    )
+    st.feed(audio)
+    assert st.finish().text == offline
+
+
+# -------------------------------------------------------------- validation
+def test_validation_errors():
+    bundle = _ctc_bundle()
+    with pytest.raises(ValueError, match="multiples"):
+        StreamingTranscriber(bundle, StreamingConfig(hop_seconds=0.05))
+    with pytest.raises(ValueError, match="cover"):
+        StreamingTranscriber(
+            bundle, StreamingConfig(window_seconds=0.64, hop_seconds=0.32,
+                                    lookahead_seconds=0.64),
+        )
+    st = StreamingTranscriber(bundle, StreamingConfig(
+        window_seconds=1.28, hop_seconds=0.32, lookahead_seconds=0.2))
+    st.feed(_audio(0.2))
+    st.finish()
+    with pytest.raises(RuntimeError, match="finished"):
+        st.feed(_audio(0.1))
+
+    from jiao_liao_speech_recognition_tpu.utils.config import WhisperConfig
+
+    wcfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=16, d_model=32, encoder_layers=1, decoder_layers=1,
+            num_heads=2, mlp_dim=64, max_source_positions=16,
+            max_target_positions=8, use_flash_attention=False,
+        ),
+    )
+    wb = ModelBundle(
+        config=wcfg, params=None, tokenizer=CharTokenizer([]),
+    )
+    with pytest.raises(ValueError, match="whisper"):
+        StreamingTranscriber(wb)
