@@ -120,34 +120,44 @@ def main() -> int:
     )
 
     if args.batch > 1:
-        # N streams share one dispatch: stack their windows. Distinct rolling
-        # buffers per timed call + scalar hard sync (verify-skill rules).
+        # N streams share one dispatch through the PRODUCTION pool: open B
+        # slots, feed each a hop of its own audio, one pool.step() advances
+        # all of them. Windows roll forward so every timed dispatch sees
+        # distinct buffers; step() materializes the id rows (hard sync).
         from jiao_liao_speech_recognition_tpu.serve.streaming import (
-            _window_step_fn,
+            StreamingPool,
         )
-        import jax.numpy as jnp
 
         B = args.batch
-        W = int(args.window * sr)
-        step = _window_step_fn(cfg, "ctc")
-        nfr = np.full((B,), W // cfg.frontend.hop_length, np.int32)
-        wavs = [
-            jnp.asarray((rng.randn(B, W) * 0.1).astype(np.float32))
-            for _ in range(6)
+        pool = StreamingPool(bundle, slots=B, stream_cfg=sc)
+        sids = [pool.open() for _ in range(B)]
+        streams = [
+            (rng.randn(int((args.window + 12) * sr)) * 0.1).astype(np.float32)
+            for _ in range(B)
         ]
-        for w in wavs:  # warm every buffer
-            ids, _ = step(bundle.params, w, nfr)
-            float(jnp.sum(ids))
+        # prime each slot past one full window, then warm the batched program
+        for sid, s in zip(sids, streams):
+            pool.feed(sid, s[: int(args.window * sr) + hop])
+        for _ in range(3):
+            for k, sid in enumerate(sids):
+                off = int(args.window * sr) + hop
+                pool.feed(sid, streams[k][off : off + hop])
+            pool.step()
+        offs = [int(args.window * sr) + 2 * hop] * B
+        iters = 20
         t0 = time.perf_counter()
-        iters = 18
-        for i in range(iters):
-            ids, _ = step(bundle.params, wavs[i % len(wavs)], nfr)
-            float(jnp.sum(ids))
+        for _ in range(iters):
+            for k, sid in enumerate(sids):
+                pool.feed(sid, streams[k][offs[k] : offs[k] + hop])
+                offs[k] += hop
+            n = len(pool.step())
+            assert n == B, n
         t_step = (time.perf_counter() - t0) / iters
         cap = B * args.hop / t_step
         print(
-            f"batched window step B={B}: {t_step * 1e3:.1f} ms/dispatch -> "
-            f"~{cap:.0f} concurrent real-time streams/chip at hop {args.hop}s"
+            f"pool step B={B}: {t_step * 1e3:.1f} ms/step (one dispatch + "
+            f"host bookkeeping) -> ~{cap:.0f} concurrent real-time "
+            f"streams/chip at hop {args.hop}s"
         )
     return 0
 

@@ -2,11 +2,17 @@
 family) and sliding-window streaming transcription (CTC families)."""
 
 from .engine import ServingEngine
-from .streaming import StreamingConfig, StreamingResult, StreamingTranscriber
+from .streaming import (
+    StreamingConfig,
+    StreamingPool,
+    StreamingResult,
+    StreamingTranscriber,
+)
 
 __all__ = [
     "ServingEngine",
     "StreamingConfig",
+    "StreamingPool",
     "StreamingResult",
     "StreamingTranscriber",
 ]

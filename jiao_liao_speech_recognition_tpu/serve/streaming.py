@@ -163,24 +163,12 @@ class StreamingTranscriber:
         rate) and return the updated partial transcript."""
         if self._finished:
             raise RuntimeError("stream already finished")
-        pcm = np.asarray(pcm)
-        if pcm.dtype == np.int16:
-            pcm = pcm.astype(np.float32) / 32768.0
-        pcm = np.ascontiguousarray(pcm, np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, pcm])
-        self._total += len(pcm)
+        self._append(pcm)
         n_before = len(self._tokens)
         while self._total >= self._end + self._hop:
             self._end += self._hop
             self._run_window(self._end, final=False)
-            # keep a full window ending at `end`: the NEXT hop window starts
-            # at end+hop-W, but a finish() between hops can start its final
-            # window as early as aligned_up(total-W) >= end-W — trim to the
-            # earlier of the two
-            keep_from = max(0, self._end - self._W)
-            if keep_from > self._base:
-                self._buf = self._buf[keep_from - self._base :]
-                self._base = keep_from
+            self._trim()
         return self._result(n_before, final=False)
 
     def finish(self) -> StreamingResult:
@@ -199,17 +187,44 @@ class StreamingTranscriber:
         return self.bundle.tokenizer.decode(self._tokens)
 
     # ------------------------------------------------------------- internals
-    def _run_window(self, end: int, final: bool) -> None:
-        # window start on the encoder-frame grid; ceil keeps length <= W
+    def _append(self, pcm: np.ndarray) -> None:
+        """Buffer audio without dispatching (StreamingPool batches the
+        dispatches across slots)."""
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            pcm = pcm.astype(np.float32) / 32768.0
+        pcm = np.ascontiguousarray(pcm, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, pcm])
+        self._total += len(pcm)
+
+    def _trim(self) -> None:
+        # keep a full window ending at `end`: the NEXT hop window starts at
+        # end+hop-W, but a finish() between hops can start its final window
+        # as early as aligned_up(total-W) >= end-W — trim to the earlier
+        keep_from = max(0, self._end - self._W)
+        if keep_from > self._base:
+            self._buf = self._buf[keep_from - self._base :]
+            self._base = keep_from
+
+    def _build_window(self, end: int):
+        """-> (wav [W] float32, valid mel frames, e0 global frame offset).
+        Window start sits on the encoder-frame grid (ceil keeps len <= W)."""
         start = max(0, -(-(end - self._W) // self._align) * self._align)
         seg = self._buf[start - self._base : end - self._base]
-        wav = np.zeros((1, self._W), np.float32)
-        wav[0, : len(seg)] = seg
-        nframes = np.asarray([len(seg) // self._hop_len], np.int32)
-        ids, out_lens = self._step(self.bundle.params, wav, nframes)
-        ids = np.asarray(ids[0])
-        e0 = start // self._align
-        n_glob = e0 + int(out_lens[0])
+        wav = np.zeros(self._W, np.float32)
+        wav[: len(seg)] = seg
+        return wav, len(seg) // self._hop_len, start // self._align
+
+    def _run_window(self, end: int, final: bool) -> None:
+        wav, nfr, e0 = self._build_window(end)
+        ids, out_lens = self._step(
+            self.bundle.params, wav[None], np.asarray([nfr], np.int32)
+        )
+        self._absorb(np.asarray(ids[0]), int(out_lens[0]), e0, final)
+
+    def _absorb(self, ids: np.ndarray, out_len: int, e0: int, final: bool) -> None:
+        """Commit the window's stable frames and refresh the preview."""
+        n_glob = e0 + out_len
         cut = n_glob if final else max(self._committed, n_glob - self._look)
         if cut > self._committed:
             new = ids[self._committed - e0 : cut - e0]
@@ -239,6 +254,112 @@ class StreamingTranscriber:
             committed_frames=self._committed,
             is_final=final,
         )
+
+
+class StreamingPool:
+    """N concurrent streams sharing ONE batched window program.
+
+    A single stream dispatches a [1, W] window per hop, which through a
+    dispatch floor is the dominant cost (examples/profile_streaming.py:
+    68 ms/hop single-stream vs 33 ms for THIRTY-TWO streams' windows in one
+    [32, W] dispatch — ~385 real-time streams/chip). The pool keeps a fixed
+    slot count so every step() compiles to the same executable; open slots
+    advance by at most one hop per step(), idle rows ride along masked to a
+    minimal valid length and their outputs are ignored.
+
+    >>> pool = StreamingPool(bundle, slots=32)
+    >>> sid = pool.open()
+    >>> pool.feed(sid, pcm)                # buffer only, no dispatch
+    >>> for sid, res in pool.step().items():   # one dispatch, all slots
+    ...     push_partial(sid, res.text + res.preview)
+    >>> final = pool.finish(sid)           # flush + free the slot
+
+    Per-slot semantics are exactly StreamingTranscriber's (same commit
+    discipline, same collapse carry); tests pin pool == single-stream text.
+    """
+
+    def __init__(self, bundle, slots: int = 8,
+                 stream_cfg: Optional[StreamingConfig] = None):
+        self.bundle = bundle
+        self.cfg = stream_cfg or StreamingConfig()
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        self.slots = int(slots)
+        # template carries the validated geometry + the memoized step fn;
+        # its stream state is never used
+        self._proto = StreamingTranscriber(bundle, self.cfg)
+        self._active: dict = {}
+        self._next_id = 0
+
+    def open(self) -> int:
+        """Claim a slot for a new stream; returns its id."""
+        if len(self._active) >= self.slots:
+            raise RuntimeError(f"pool full ({self.slots} slots)")
+        sid = self._next_id
+        self._next_id += 1
+        self._active[sid] = StreamingTranscriber(self.bundle, self.cfg)
+        return sid
+
+    def feed(self, sid: int, pcm: np.ndarray) -> None:
+        """Buffer audio for a stream. No dispatch happens until step()."""
+        self._active[sid]._append(pcm)
+
+    def step(self) -> dict:
+        """Advance every slot with >= one hop of unprocessed audio by ONE
+        hop, in one batched dispatch. Returns {sid: StreamingResult} for the
+        slots that advanced."""
+        jobs = []
+        for sid, st in self._active.items():
+            if st._total >= st._end + st._hop:
+                st._end += st._hop
+                jobs.append((sid, st, st._end, False))
+        out = self._dispatch(jobs)
+        for _, st, _, _ in jobs:
+            st._trim()
+        return out
+
+    def finish(self, sid: int) -> StreamingResult:
+        """Flush a stream's remaining frames and release its slot."""
+        st = self._active.pop(sid)
+        # drain backlogged hops first — pool feed() only buffers, so a slot
+        # finished without step()s may hold more audio than one window;
+        # jumping straight to the final window would skip frames older than
+        # total - window
+        while st._total >= st._end + st._hop:
+            st._end += st._hop
+            self._dispatch([(sid, st, st._end, False)])
+            st._trim()
+        if st._total > 0:
+            res = self._dispatch([(sid, st, st._total, True)])[sid]
+        else:
+            res = st._result(len(st._tokens), final=True)
+        st._finished = True
+        return res
+
+    def _dispatch(self, jobs) -> dict:
+        if not jobs:
+            return {}
+        proto = self._proto
+        B, W = self.slots, proto._W
+        wav = np.zeros((B, W), np.float32)
+        # idle rows: one encoder frame of silence keeps the length mask
+        # non-empty (a fully-masked attention row is NaN); outputs ignored
+        nfr = np.full((B,), proto._align // proto._hop_len, np.int32)
+        e0s = []
+        for i, (sid, st, end, final) in enumerate(jobs):
+            row, n, e0 = st._build_window(end)
+            wav[i] = row
+            nfr[i] = max(n, 1)
+            e0s.append(e0)
+        ids, out_lens = proto._step(self.bundle.params, wav, nfr)
+        ids = np.asarray(ids)
+        out_lens = np.asarray(out_lens)
+        results = {}
+        for i, (sid, st, end, final) in enumerate(jobs):
+            n_before = len(st._tokens)
+            st._absorb(ids[i], int(out_lens[i]), e0s[i], final)
+            results[sid] = st._result(n_before, final=final)
+        return results
 
 
 # jitted window programs memoized like models/bundle._ENCODE_FN_CACHE: one

@@ -24,6 +24,7 @@ from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
 from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
 from jiao_liao_speech_recognition_tpu.serve.streaming import (
     StreamingConfig,
+    StreamingPool,
     StreamingTranscriber,
 )
 from jiao_liao_speech_recognition_tpu.utils.config import (
@@ -186,6 +187,76 @@ def test_joint_family_streams_ctc_branch():
     )
     st.feed(audio)
     assert st.finish().text == offline
+
+
+# -------------------------------------------------------------------- pool
+def _f32_bundle():
+    # float32 compute: batched rows must equal single-row dispatches exactly,
+    # without bf16 tie-flip noise between the [N, W] and [1, W] programs
+    b = _ctc_bundle()
+    b.config.ctc_model.dtype = "float32"
+    return b
+
+
+def test_pool_matches_single_stream():
+    bundle = _f32_bundle()
+    sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                         lookahead_seconds=0.16)
+    audios = [_audio(s, seed=i) for i, s in enumerate([1.6, 0.88, 2.4])]
+
+    singles = []
+    for a in audios:
+        st = StreamingTranscriber(bundle, sc)
+        st.feed(a)
+        singles.append(st.finish().text)
+
+    pool = StreamingPool(bundle, slots=4, stream_cfg=sc)
+    sids = [pool.open() for _ in audios]
+    # staggered real-time arrival: feed hop-sized pieces, stepping between
+    hop = int(0.32 * SR)
+    offs = [0, 0, 0]
+    done = {}
+    while len(done) < len(audios):
+        for k, sid in enumerate(sids):
+            if sid in done:
+                continue
+            if offs[k] < len(audios[k]):
+                pool.feed(sid, audios[k][offs[k] : offs[k] + hop])
+                offs[k] += hop
+            else:
+                done[sid] = pool.finish(sid).text
+        for res in pool.step().values():
+            assert isinstance(res.text, str)
+    assert [done[s] for s in sids] == singles
+
+
+def test_pool_finish_drains_backlog():
+    bundle = _f32_bundle()
+    sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                         lookahead_seconds=0.16)
+    audio = _audio(3.2, seed=5)  # 2.5 windows of backlog
+    st = StreamingTranscriber(bundle, sc)
+    st.feed(audio)
+    want = st.finish().text
+
+    pool = StreamingPool(bundle, slots=2, stream_cfg=sc)
+    sid = pool.open()
+    pool.feed(sid, audio)  # buffered only — no step() calls at all
+    assert pool.finish(sid).text == want
+
+
+def test_pool_slot_limit():
+    bundle = _ctc_bundle()
+    pool = StreamingPool(
+        bundle, slots=1,
+        stream_cfg=StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                                   lookahead_seconds=0.16),
+    )
+    a = pool.open()
+    with pytest.raises(RuntimeError, match="full"):
+        pool.open()
+    pool.finish(a)
+    pool.open()  # freed slot is reusable
 
 
 # -------------------------------------------------------------- validation
