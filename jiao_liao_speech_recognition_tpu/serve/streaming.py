@@ -144,6 +144,7 @@ class StreamingTranscriber:
         self.blank_id = (
             config.decode.ctc_blank_id if blank_id is None else blank_id
         )
+        self._family = family
         self._step = _window_step_fn(config, family)
 
         # ---- host stream state ------------------------------------------
@@ -279,7 +280,8 @@ class StreamingPool:
     """
 
     def __init__(self, bundle, slots: int = 8,
-                 stream_cfg: Optional[StreamingConfig] = None):
+                 stream_cfg: Optional[StreamingConfig] = None,
+                 device_ring: bool = True):
         self.bundle = bundle
         self.cfg = stream_cfg or StreamingConfig()
         if slots < 1:
@@ -290,6 +292,22 @@ class StreamingPool:
         self._proto = StreamingTranscriber(bundle, self.cfg)
         self._active: dict = {}
         self._next_id = 0
+        # device-resident audio ring: the window state lives in HBM and only
+        # the NEW hop samples cross host->device per step (the ring roll +
+        # write + featurize + encode fuse into ONE jitted dispatch). The
+        # host-assembled path re-ships the whole [N, W] batch every step —
+        # 96% of it window overlap (measured 415 vs 33 ms at B=32 through
+        # the relay, docs/PERFORMANCE.md). Bit-identical by construction:
+        # each ring row always equals the host-built window.
+        self._device_ring = bool(device_ring)
+        self._ring = None  # lazy [slots, W] f32 on first ring step
+        self._rows: dict = {}  # sid -> ring row
+        self._free_rows = list(range(self.slots))
+        self._ring_step = (
+            _ring_step_fn(bundle.config, self._proto._family,
+                          self.slots, self._proto._W, self._proto._hop)
+            if self._device_ring else None
+        )
 
     def open(self) -> int:
         """Claim a slot for a new stream; returns its id."""
@@ -298,6 +316,11 @@ class StreamingPool:
         sid = self._next_id
         self._next_id += 1
         self._active[sid] = StreamingTranscriber(self.bundle, self.cfg)
+        row = self._free_rows.pop(0)
+        self._rows[sid] = row
+        if self._ring is not None:
+            # reused row must not leak the previous stream's audio
+            self._ring = self._ring.at[row].set(0.0)
         return sid
 
     def feed(self, sid: int, pcm: np.ndarray) -> None:
@@ -313,14 +336,58 @@ class StreamingPool:
             if st._total >= st._end + st._hop:
                 st._end += st._hop
                 jobs.append((sid, st, st._end, False))
-        out = self._dispatch(jobs)
+        if self._device_ring:
+            out = self._dispatch_ring(jobs)
+        else:
+            out = self._dispatch(jobs)
         for _, st, _, _ in jobs:
             st._trim()
         return out
 
+    def _dispatch_ring(self, jobs) -> dict:
+        if not jobs:
+            return {}
+        import jax.numpy as jnp
+
+        proto = self._proto
+        B, W, H = self.slots, proto._W, proto._hop
+        if self._ring is None:
+            self._ring = jnp.zeros((B, W), jnp.float32)
+        chunk = np.zeros((B, H), np.float32)
+        shift = np.zeros((B,), np.int32)
+        woff = np.zeros((B,), np.int32)
+        advance = np.zeros((B,), np.int32)
+        # idle rows still flow through the encoder; a non-empty mask keeps
+        # their (discarded) attention rows NaN-free
+        nfr = np.full((B,), proto._align // proto._hop_len, np.int32)
+        e0s = {}
+        for sid, st, end, _ in jobs:
+            r = self._rows[sid]
+            chunk[r] = st._buf[end - H - st._base : end - st._base]
+            start = max(0, end - W)
+            shift[r] = start - max(0, end - H - W)
+            woff[r] = min(end - H, W - H)
+            advance[r] = 1
+            nfr[r] = max((end - start) // proto._hop_len, 1)
+            e0s[sid] = start // proto._align
+        ids, out_lens, self._ring = self._ring_step(
+            self.bundle.params, self._ring, chunk,
+            shift, woff, advance, nfr,
+        )
+        ids = np.asarray(ids)
+        out_lens = np.asarray(out_lens)
+        results = {}
+        for sid, st, end, final in jobs:
+            r = self._rows[sid]
+            n_before = len(st._tokens)
+            st._absorb(ids[r], int(out_lens[r]), e0s[sid], final)
+            results[sid] = st._result(n_before, final=final)
+        return results
+
     def finish(self, sid: int) -> StreamingResult:
         """Flush a stream's remaining frames and release its slot."""
         st = self._active.pop(sid)
+        self._free_rows.append(self._rows.pop(sid))
         # drain backlogged hops first — pool feed() only buffers, so a slot
         # finished without step()s may hold more audio than one window;
         # jumping straight to the final window would skip frames older than
@@ -411,3 +478,80 @@ def _window_step_fn(config: ExperimentConfig, family: str):
     fn = jax.jit(run)
     _STEP_CACHE[key] = fn
     return fn
+
+
+def _ring_step_fn(config: ExperimentConfig, family: str, slots: int,
+                  window: int, hop: int):
+    """Fused ring-update + window forward for StreamingPool's device ring.
+
+    ring [B, W] holds each row's CURRENT window (prefix-valid, exactly what
+    the host _build_window would assemble). One dispatch per pool step:
+
+      rolled  = per-row circular left-shift by `shift` (0 while the stream
+                is younger than W, then hop)         — one [B, W] gather
+      written = rolled with the new hop scattered at `write_off`
+      ring'   = where(advance, written, ring)        — idle rows untouched
+      ids     = encoder(featurize(ring'), nframes)   — same math as the
+                host path on identical window values, so pool-with-ring ==
+                pool-without == single-stream, bit for bit
+
+    Host->device per step: [B, hop] samples + 4 [B] int vectors — ~4% of
+    re-shipping the [B, W] windows at the default 10 s / 0.4 s geometry.
+    """
+    import json
+
+    from ..utils.config import to_dict
+
+    sub = config.ctc_model if family == "ctc" else config.joint
+    key = (
+        "ring", family, slots, window, hop,
+        json.dumps(to_dict(sub), sort_keys=True),
+        json.dumps(to_dict(config.frontend), sort_keys=True),
+    )
+    fn = _STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    fe = config.frontend
+    if family == "ctc":
+        from ..models.ctc_model import CTCEncoderModel
+
+        model = CTCEncoderModel(config.ctc_model)
+
+        def forward(params, feats, nframes):
+            return model.apply(
+                {"params": params}, feats, nframes,
+                deterministic=True, head_mode="argmax_ids",
+            )
+
+    else:
+        from ..models.joint import JointCTCAttentionModel
+
+        model = JointCTCAttentionModel(config.joint)
+
+        def forward(params, feats, nframes):
+            enc, out_lens = model.apply(
+                {"params": params}, feats, nframes, method=model.encode
+            )
+            ids = model.apply(
+                {"params": params}, enc, method=model.ctc_argmax_ids
+            )
+            return ids, out_lens
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(params, ring, chunk, shift, write_off, advance, nframes):
+        B, W = ring.shape
+        H = chunk.shape[1]
+        idx = (jnp.arange(W)[None, :] + shift[:, None]) % W
+        rolled = jnp.take_along_axis(ring, idx, axis=1)
+        bidx = jnp.arange(B)[:, None]
+        pos = write_off[:, None] + jnp.arange(H)[None, :]
+        written = rolled.at[bidx, pos].set(chunk)
+        ring2 = jnp.where(advance[:, None] > 0, written, ring)
+        feats = features.featurize_batch(ring2, fe)
+        ids, out_lens = forward(params, feats, nframes)
+        return ids, out_lens, ring2
+
+    _STEP_CACHE[key] = run
+    return run

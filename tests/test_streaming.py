@@ -198,7 +198,8 @@ def _f32_bundle():
     return b
 
 
-def test_pool_matches_single_stream():
+@pytest.mark.parametrize("device_ring", [True, False])
+def test_pool_matches_single_stream(device_ring):
     bundle = _f32_bundle()
     sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
                          lookahead_seconds=0.16)
@@ -210,7 +211,8 @@ def test_pool_matches_single_stream():
         st.feed(a)
         singles.append(st.finish().text)
 
-    pool = StreamingPool(bundle, slots=4, stream_cfg=sc)
+    pool = StreamingPool(bundle, slots=4, stream_cfg=sc,
+                         device_ring=device_ring)
     sids = [pool.open() for _ in audios]
     # staggered real-time arrival: feed hop-sized pieces, stepping between
     hop = int(0.32 * SR)
@@ -243,6 +245,34 @@ def test_pool_finish_drains_backlog():
     sid = pool.open()
     pool.feed(sid, audio)  # buffered only — no step() calls at all
     assert pool.finish(sid).text == want
+
+
+def test_pool_ring_row_reuse_no_leak():
+    """A freed ring row must be zeroed for the next stream: stream B on a
+    reused row must transcribe identically to a fresh pool's stream B."""
+    bundle = _f32_bundle()
+    sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                         lookahead_seconds=0.16)
+    a, b = _audio(1.6, seed=11), _audio(0.8, seed=12)
+
+    pool = StreamingPool(bundle, slots=1, stream_cfg=sc, device_ring=True)
+    sa = pool.open()
+    pool.feed(sa, a)
+    while pool.step():
+        pass
+    pool.finish(sa)
+    sb = pool.open()  # reuses row 0, whose ring holds stream A's audio
+    pool.feed(sb, b)
+    while pool.step():
+        pass
+    got = pool.finish(sb).text
+
+    fresh = StreamingPool(bundle, slots=1, stream_cfg=sc, device_ring=True)
+    sid = fresh.open()
+    fresh.feed(sid, b)
+    while fresh.step():
+        pass
+    assert fresh.finish(sid).text == got
 
 
 def test_pool_slot_limit():
