@@ -11,11 +11,12 @@ an end-to-end pipeline of
   greedy + prefix-beam decoding, CER / jieba-segmented-WER evaluation.
 
 Public north-star API (BASELINE.json): ``load`` / ``featurize`` /
-``transcribe`` / ``fine_tune`` — re-exported here from :mod:`.api`.
+``transcribe`` / ``fine_tune`` — re-exported here from :mod:`.api` —
+plus ``stream`` for incremental (online) transcription.
 """
 
 __version__ = "0.1.0"
 
-from .api import load, featurize, transcribe, fine_tune  # noqa: F401
+from .api import load, featurize, transcribe, fine_tune, stream  # noqa: F401
 
-__all__ = ["load", "featurize", "transcribe", "fine_tune", "__version__"]
+__all__ = ["load", "featurize", "transcribe", "fine_tune", "stream", "__version__"]

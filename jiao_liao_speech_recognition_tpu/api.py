@@ -73,6 +73,29 @@ def transcribe(
     return bundle.transcribe(audio, sample_rate=sample_rate, decode_cfg=decode_cfg)
 
 
+def stream(
+    bundle,
+    chunks: Iterable[np.ndarray],
+    stream_cfg=None,
+):
+    """Incremental transcription of a live audio stream (CTC families).
+
+    Beyond-reference serving surface (the reference decodes complete
+    recordings only): yields a StreamingResult after every fed chunk —
+    `res.text` is final committed text, `res.preview` the unstable tail —
+    and a final result (is_final=True) after the source is exhausted.
+
+    >>> for res in stream(bundle, microphone_chunks()):
+    ...     print(res.text + res.preview)
+    """
+    from .serve.streaming import StreamingTranscriber
+
+    st = StreamingTranscriber(bundle, stream_cfg)
+    for chunk in chunks:
+        yield st.feed(chunk)
+    yield st.finish()
+
+
 def fine_tune(config: Union[str, ExperimentConfig], resume: bool = False):
     """Run the (adapter) fine-tuning loop described by `config`; returns the
     final TrainState. Covers BASELINE configs[2] (adapter fine-tune) and,

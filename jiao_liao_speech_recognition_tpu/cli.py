@@ -82,6 +82,21 @@ def cmd_transcribe(args) -> int:
         )
     if getattr(args, "stream", False):
         return _transcribe_streaming(bundle, args)
+    if getattr(args, "timestamps", False):
+        # per-token CTC frame alignment (ctc/joint families)
+        try:
+            timed = bundle.transcribe_timed(args.audio)
+        except NotImplementedError as e:
+            print(f"error: --timestamps: {e}", file=sys.stderr)
+            return 2
+        for path, toks in zip(args.audio, timed):
+            print(json.dumps(
+                {"audio": path,
+                 "text": "".join(t["token"] for t in toks),
+                 "tokens": toks},
+                ensure_ascii=False,
+            ))
+        return 0
     with trace(getattr(args, "profile", None)):
         texts = transcribe(bundle, args.audio, decode_cfg=decode_cfg)
     for path, text in zip(args.audio, texts):
@@ -367,6 +382,11 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--int8", action="store_true",
         help="int8-quantize the decoder weights before serving (whisper)",
+    )
+    pr.add_argument(
+        "--timestamps", action="store_true",
+        help="emit per-token start/end seconds from the CTC frame "
+        "alignment (ctc/joint families)",
     )
     pr.add_argument(
         "--stream", action="store_true",

@@ -48,6 +48,34 @@ def ctc_greedy_collapse(
     return out, out_lengths
 
 
+def ctc_collapse_with_times(
+    frame_ids: np.ndarray,  # [T] per-frame argmax ids (host)
+    length: int,
+    blank_id: int = 0,
+) -> List[Tuple[int, int, int]]:
+    """Host-side greedy collapse that keeps the frame alignment.
+
+    Returns [(token_id, start_frame, end_frame_exclusive)] with the SAME
+    emission rule as ctc_greedy_collapse (emit when id != blank and
+    id != previous frame's id), where a token's span is its run of
+    consecutive equal frames. Frame -> seconds is the encoder frame period
+    (hop_length * subsample_factor / sample_rate, 40 ms at the flagship
+    config). Beyond-reference surface: timestamps need the pre-collapse
+    frames, so this runs where the ids land on host (transcribe_timed,
+    streaming commits) rather than in the fused device collapse."""
+    out: List[Tuple[int, int, int]] = []
+    prev = -1
+    for t in range(int(length)):
+        tid = int(frame_ids[t])
+        if tid != blank_id and tid != prev:
+            out.append((tid, t, t + 1))
+        elif tid != blank_id and out and out[-1][0] == tid:
+            # continuing the emitted token's run: extend its span
+            out[-1] = (tid, out[-1][1], t + 1)
+        prev = tid
+    return out
+
+
 def ctc_greedy_decode(
     log_probs: jnp.ndarray,  # [B, T, V]
     lengths: jnp.ndarray,  # [B]

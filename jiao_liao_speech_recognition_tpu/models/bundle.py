@@ -199,6 +199,48 @@ def _ctc_greedy_fn_for(config: ExperimentConfig, blank_id: int):
     return fn
 
 
+def _argmax_fn_for(config: ExperimentConfig):
+    """Memoized jitted per-frame argmax ids WITHOUT the device collapse —
+    the timestamp path needs the raw frame alignment (ctc/joint families)."""
+    sub = config.ctc_model if config.model_family == "ctc" else config.joint
+    key = (
+        "argmax_frames",
+        config.model_family,
+        json.dumps(to_dict(sub), sort_keys=True),
+    )
+    fn = _ENCODE_FN_CACHE.get(key)
+    if fn is None:
+        if config.model_family == "ctc":
+            from .ctc_model import CTCEncoderModel
+
+            model = CTCEncoderModel(config.ctc_model)
+
+            @jax.jit
+            def fn(params, f, fl):
+                return model.apply(
+                    {"params": params}, f, fl, deterministic=True,
+                    head_mode="argmax_ids",
+                )
+
+        else:
+            from .joint import JointCTCAttentionModel
+
+            model = JointCTCAttentionModel(config.joint)
+
+            @jax.jit
+            def fn(params, f, fl):
+                enc, out_lens = model.apply(
+                    {"params": params}, f, fl, method=model.encode
+                )
+                ids = model.apply(
+                    {"params": params}, enc, method=model.ctc_argmax_ids
+                )
+                return ids, out_lens
+
+        _ENCODE_FN_CACHE[key] = fn
+    return fn
+
+
 @dataclass
 class ModelBundle:
     config: ExperimentConfig
@@ -445,6 +487,57 @@ class ModelBundle:
         out: List[str] = []
         for group in owners:
             out.append("".join(texts[i] for i in group))
+        return out
+
+    def transcribe_timed(
+        self,
+        audio: Union[str, np.ndarray, Sequence],
+        sample_rate: Optional[int] = None,
+    ) -> List[List[dict]]:
+        """Greedy transcription WITH per-token timestamps (ctc/joint
+        families — the CTC frame alignment gives them directly; beyond-
+        reference surface). Returns, per utterance, a list of
+        ``{"token": str, "start": s, "end": s}`` whose concatenated tokens
+        equal transcribe()'s text (same emission rule, host-side collapse
+        keeping spans — decode/ctc.ctc_collapse_with_times). Long recordings
+        chunk exactly like transcribe(); chunk k's tokens are offset by
+        k * chunk_seconds."""
+        if self.config.model_family == "whisper":
+            raise NotImplementedError(
+                "timestamps use the CTC frame alignment (ctc/joint families)"
+            )
+        from ..decode.ctc import ctc_collapse_with_times
+
+        fe = self.config.frontend
+        sub = (
+            self.config.ctc_model
+            if self.config.model_family == "ctc"
+            else self.config.joint
+        )
+        frame_s = fe.hop_length * sub.subsample_factor / fe.sample_rate
+        blank = self.config.decode.ctc_blank_id
+        wavs, alens, owners = self._prepare_audio_chunked(audio, sample_rate)
+        wav_dev, = self._shard_inputs(jnp.asarray(wavs))
+        feats = features.featurize_batch(wav_dev, fe)
+        flens = jnp.asarray(alens // fe.hop_length, dtype=jnp.int32)
+        flens, = self._shard_inputs(flens)
+        ids, out_lens = _argmax_fn_for(self.config)(self.params, feats, flens)
+        ids = np.asarray(ids)
+        out_lens = np.asarray(out_lens)
+        out: List[List[dict]] = []
+        for group in owners:
+            utt: List[dict] = []
+            for j, piece in enumerate(group):
+                off = j * fe.chunk_seconds
+                for tid, t0, t1 in ctc_collapse_with_times(
+                    ids[piece], int(out_lens[piece]), blank
+                ):
+                    utt.append({
+                        "token": self.tokenizer.decode([tid]),
+                        "start": round(off + t0 * frame_s, 3),
+                        "end": round(off + t1 * frame_s, 3),
+                    })
+            out.append(utt)
         return out
 
     def _prepare_audio_chunked(self, audio, sample_rate):

@@ -155,6 +155,9 @@ class StreamingTranscriber:
         self._committed = 0  # global encoder frames finalized
         self._prev_id = -1  # last committed frame id (collapse carry)
         self._tokens: List[int] = []  # committed token ids
+        # committed tokens' frame spans [(start, end)) in GLOBAL encoder
+        # frames — same emission rule as decode.ctc.ctc_collapse_with_times
+        self._spans: List[tuple] = []
         self._preview_ids: List[int] = []
         self._finished = False
 
@@ -186,6 +189,21 @@ class StreamingTranscriber:
     @property
     def text(self) -> str:
         return self.bundle.tokenizer.decode(self._tokens)
+
+    @property
+    def timed_tokens(self) -> List[dict]:
+        """Committed tokens with start/end seconds from the CTC frame
+        alignment (matches ModelBundle.transcribe_timed's emission rule)."""
+        frame_s = self._align / self.bundle.config.frontend.sample_rate
+        tok = self.bundle.tokenizer
+        return [
+            {
+                "token": tok.decode([t]),
+                "start": round(s * frame_s, 3),
+                "end": round(e * frame_s, 3),
+            }
+            for t, (s, e) in zip(self._tokens, self._spans)
+        ]
 
     # ------------------------------------------------------------- internals
     def _append(self, pcm: np.ndarray) -> None:
@@ -230,9 +248,14 @@ class StreamingTranscriber:
         if cut > self._committed:
             new = ids[self._committed - e0 : cut - e0]
             prev = self._prev_id
-            for t in new.tolist():
+            for k, t in enumerate(new.tolist()):
+                g = self._committed + k
                 if t != self.blank_id and t != prev:
                     self._tokens.append(t)
+                    self._spans.append((g, g + 1))
+                elif t != self.blank_id and self._tokens:
+                    # t == prev != blank: the run continues; extend its span
+                    self._spans[-1] = (self._spans[-1][0], g + 1)
                 prev = t
             self._prev_id = prev
             self._committed = cut

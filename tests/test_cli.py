@@ -97,6 +97,16 @@ def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
     assert set(lines[-1]) == {"audio", "text"}
     assert lines[-1]["text"] == rec["text"]
 
+    # --timestamps: per-token spans whose concatenation is the greedy text
+    rc = cli.main([
+        "transcribe", str(tmp / "u0.wav"),
+        "--checkpoint", str(tmp / "ckpt" / "final"), "--timestamps",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["text"] == rec["text"]
+    assert all(t["start"] < t["end"] for t in out["tokens"])
+
 
 def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
     """evaluate --int8 quantizes the whisper serving tree and reports CER/WER

@@ -189,6 +189,28 @@ def test_joint_family_streams_ctc_branch():
     assert st.finish().text == offline
 
 
+# --------------------------------------------------------------- api facade
+def test_api_stream_facade():
+    """api.stream yields a result per chunk plus a final one, and the final
+    text equals the transcriber driven directly."""
+    from jiao_liao_speech_recognition_tpu import stream
+
+    bundle = _ctc_bundle()
+    sc = StreamingConfig(window_seconds=1.28, hop_seconds=0.32,
+                         lookahead_seconds=0.16)
+    audio = _audio(1.6, seed=9)
+    chunks = np.split(audio, 4)
+
+    st = StreamingTranscriber(bundle, sc)
+    st.feed(audio)
+    want = st.finish().text
+
+    results = list(stream(bundle, chunks, sc))
+    assert len(results) == 5 and results[-1].is_final
+    assert all(not r.is_final for r in results[:-1])
+    assert results[-1].text == want
+
+
 # -------------------------------------------------------------------- pool
 def _f32_bundle():
     # float32 compute: batched rows must equal single-row dispatches exactly,

@@ -1,0 +1,131 @@
+"""Per-token timestamps from the CTC frame alignment.
+
+Pins: the collapse-with-times emission rule (identical token sequence to
+ctc_greedy_collapse, spans = runs of equal frames), transcribe_timed's
+text == transcribe's text with monotone non-overlapping spans (including
+across long-form chunk boundaries), and streaming timed_tokens ==
+transcribe_timed when the utterance fits one window.
+"""
+
+import numpy as np
+import pytest
+
+from jiao_liao_speech_recognition_tpu.decode.ctc import (
+    ctc_collapse_with_times,
+    ctc_greedy_collapse,
+)
+
+
+def test_collapse_with_times_rule():
+    # frames: 1 1 0 1 2 2 0 0 3
+    ids = np.array([1, 1, 0, 1, 2, 2, 0, 0, 3])
+    got = ctc_collapse_with_times(ids, len(ids), blank_id=0)
+    assert got == [(1, 0, 2), (1, 3, 4), (2, 4, 6), (3, 8, 9)]
+    # truncated length stops mid-run
+    assert ctc_collapse_with_times(ids, 5, 0) == [(1, 0, 2), (1, 3, 4), (2, 4, 5)]
+    assert ctc_collapse_with_times(ids, 0, 0) == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_collapse_with_times_matches_device_collapse(seed):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, 4, size=(3, 50)).astype(np.int32)
+    lens = np.array([50, 17, 0], np.int32)
+    dev_ids, dev_lens = ctc_greedy_collapse(ids, lens, 0)
+    dev_ids, dev_lens = np.asarray(dev_ids), np.asarray(dev_lens)
+    for b in range(3):
+        timed = ctc_collapse_with_times(ids[b], lens[b], 0)
+        assert [t for t, _, _ in timed] == list(dev_ids[b][: dev_lens[b]])
+        # spans are monotone, non-overlapping, inside the valid frames
+        last = 0
+        for _, s, e in timed:
+            assert last <= s < e <= lens[b]
+            last = e
+
+
+def _bundle(chunk_seconds=2.56):
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        CTCModelConfig,
+        ExperimentConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model_family="ctc",
+        ctc_model=CTCModelConfig(
+            vocab_size=8, d_model=32, num_layers=2, num_heads=2,
+            mlp_dim=64, conv_channels=16, use_flash_attention=False,
+            dropout=0.0,
+        ),
+    )
+    cfg.frontend.chunk_seconds = chunk_seconds
+    params = ModelBundle._init_params(cfg)
+    return ModelBundle(
+        config=cfg, params=params,
+        tokenizer=CharTokenizer([chr(0x4E00 + i) for i in range(6)]),
+    )
+
+
+def test_transcribe_timed_matches_text():
+    bundle = _bundle()
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(int(16000 * 1.6)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+    last = 0.0
+    for t in timed:
+        assert last <= t["start"] < t["end"]
+        last = t["end"]
+
+
+def test_transcribe_timed_long_form_offsets():
+    # 2 chunks: second chunk's tokens start at >= chunk_seconds
+    bundle = _bundle(chunk_seconds=1.28)
+    rng = np.random.RandomState(4)
+    audio = (rng.randn(int(16000 * 2.2)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+    assert any(t["start"] >= 1.28 for t in timed)  # tokens from chunk 2
+
+
+def test_streaming_timed_tokens_match_offline():
+    from jiao_liao_speech_recognition_tpu.serve.streaming import (
+        StreamingConfig,
+        StreamingTranscriber,
+    )
+
+    bundle = _bundle()
+    rng = np.random.RandomState(5)
+    audio = (rng.randn(int(16000 * 1.28)) * 0.1).astype(np.float32)
+    want = bundle.transcribe_timed(audio)[0]
+    st = StreamingTranscriber(
+        bundle, StreamingConfig(window_seconds=2.56, hop_seconds=2.56,
+                                lookahead_seconds=0.0),
+    )
+    st.feed(audio)
+    st.finish()
+    assert st.timed_tokens == want
+
+
+def test_transcribe_timed_whisper_rejected():
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+        WhisperConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model_family="whisper",
+        whisper=WhisperConfig(
+            vocab_size=16, d_model=32, encoder_layers=1, decoder_layers=1,
+            num_heads=2, mlp_dim=64, max_source_positions=16,
+            max_target_positions=8, use_flash_attention=False,
+        ),
+    )
+    b = ModelBundle(config=cfg, params=None, tokenizer=CharTokenizer([]))
+    with pytest.raises(NotImplementedError, match="alignment"):
+        b.transcribe_timed(np.zeros(1600, np.float32))
