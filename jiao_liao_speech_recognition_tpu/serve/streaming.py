@@ -74,6 +74,10 @@ class StreamingResult:
     new_text: str  # text committed by THIS call
     preview: str  # unstable tail past the commit point; will change
     committed_frames: int  # encoder frames finalized so far
+    # committed trailing silence (seconds of blank frames since the last
+    # non-blank commit) — the endpointing signal: a serving layer finalizes
+    # the utterance once this exceeds its threshold (e.g. 0.8 s)
+    trailing_silence: float = 0.0
     is_final: bool = False
 
 
@@ -158,6 +162,7 @@ class StreamingTranscriber:
         # committed tokens' frame spans [(start, end)) in GLOBAL encoder
         # frames — same emission rule as decode.ctc.ctc_collapse_with_times
         self._spans: List[tuple] = []
+        self._last_voice = 0  # frame AFTER the last committed non-blank
         self._preview_ids: List[int] = []
         self._finished = False
 
@@ -256,6 +261,8 @@ class StreamingTranscriber:
                 elif t != self.blank_id and self._tokens:
                     # t == prev != blank: the run continues; extend its span
                     self._spans[-1] = (self._spans[-1][0], g + 1)
+                if t != self.blank_id:
+                    self._last_voice = g + 1
                 prev = t
             self._prev_id = prev
             self._committed = cut
@@ -271,11 +278,15 @@ class StreamingTranscriber:
 
     def _result(self, n_before: int, final: bool) -> StreamingResult:
         tok = self.bundle.tokenizer
+        frame_s = self._align / self.bundle.config.frontend.sample_rate
         return StreamingResult(
             text=tok.decode(self._tokens),
             new_text=tok.decode(self._tokens[n_before:]),
             preview=tok.decode(self._preview_ids),
             committed_frames=self._committed,
+            trailing_silence=round(
+                (self._committed - self._last_voice) * frame_s, 3
+            ),
             is_final=final,
         )
 

@@ -162,6 +162,28 @@ def test_commit_bookkeeping_fake_step(window, hop, look, n_align, tail):
     assert res.committed_frames == n_frames
 
 
+def test_trailing_silence_endpoint_signal():
+    """trailing_silence tracks committed blank frames since the last voice
+    commit — the auto-finalize signal for a serving layer."""
+    bundle = _ctc_bundle()
+    st = StreamingTranscriber(
+        bundle, StreamingConfig(window_seconds=2.56, hop_seconds=0.32,
+                                lookahead_seconds=0.0),
+    )
+    st._step = _fake_step
+    # voice for the first 20 frames, silence afterwards
+    total = 60 * ALIGN
+    audio = np.zeros(total, np.float32)
+    for n in range(20 * ALIGN):
+        audio[n] = ((n // ALIGN) % 3 + 1) / 1000.0
+    res = st.feed(audio[: 24 * ALIGN])
+    assert res.trailing_silence == pytest.approx(4 * ALIGN / SR, abs=1e-6)
+    res = st.feed(audio[24 * ALIGN :])
+    # 60 frames fed but hops are 8 frames: 56 committed, 36 of them silent
+    assert res.trailing_silence == pytest.approx(36 * ALIGN / SR, abs=1e-6)
+    assert st.finish().trailing_silence == pytest.approx(40 * ALIGN / SR, abs=1e-6)
+
+
 # ------------------------------------------------------------ joint family
 def test_joint_family_streams_ctc_branch():
     cfg = ExperimentConfig(
