@@ -1,22 +1,33 @@
-"""Measure streaming transcription's text-accuracy cost on the chip.
+"""Measure streaming transcription's text-accuracy cost on the chip — and
+the fix: streaming-matched training.
 
 serve/streaming.py commits a frame once it has `lookahead_seconds` of right
-context; inside a window the encoder is bidirectional, so early commits see
-less future than the offline decode and can differ. This script measures
-that cost end to end on a TRAINED model (docs/PERFORMANCE.md carries the
-numbers; tests/test_streaming.py pins exactness only for the
-single-window/finish path):
+context; inside a window the encoder is bidirectional, so whether early
+commits match the offline decode depends on how far the MODEL reaches for
+context. This script measures both sides of that coin end to end:
 
-1. synthesize a 24-utterance tonal corpus (3 s each, char texts);
-2. train the small flagship CTC shape (d=128, 2 layers) to overfitting with
-   `cli train`;
-3. offline CER via `cli evaluate` (greedy);
-4. streamed CER at window 1.92 s (smaller than the utterances, so the
-   sliding path + cross-window collapse carry are genuinely exercised),
-   hop 0.32 s, lookahead swept {0.16, 0.32, 0.64} s — reporting corpus CER
-   vs references AND exact-match rate vs the offline texts.
+1. synthesize a 24-utterance corpus with LOCAL acoustics (each char is a
+   0.35 s tone segment — the structure real speech has; a corpus whose
+   labels are only decodable from global position would make any
+   limited-context decode impossible by construction);
+2. train TWO small flagship CTC models on it with `cli train`:
+     * "offline":  the defaults — full bidirectional attention,
+                   absolute sinusoidal positions;
+     * "matched":  attention banded to (left 12, right 6) encoder frames +
+                   position_mode=none (shift-invariant) — the
+                   streaming-matched recipe
+                   (CTCModelConfig.attention_*_context/position_mode);
+3. evaluate each offline (cli evaluate, greedy) and streamed
+   (window 1.92 s < utterances, hop 0.32 s, lookahead swept) — reporting
+   corpus CER and exact-match rate vs each model's own offline texts.
 
-Usage: python examples/streaming_quality.py [--workdir /tmp/jl_sq] [--steps 600]
+Expected shape of the result (pinned bit-exactly at random init by
+tests/test_limited_context.py): the matched model streams identically to
+its offline decode once lookahead covers its right context; the offline
+model loses accuracy streamed because its training never bounded its
+context. Measured numbers live in docs/PERFORMANCE.md.
+
+Usage: python examples/streaming_quality.py [--workdir /tmp/jl_sq2] [--steps 800]
 """
 
 import json
@@ -39,7 +50,7 @@ def sh(args):
 
 
 def main():
-    workdir, steps = "/tmp/jl_sq", 600
+    workdir, steps = "/tmp/jl_sq2", 800
     for i, a in enumerate(sys.argv):
         if a == "--workdir" and i + 1 < len(sys.argv):
             workdir = sys.argv[i + 1]
@@ -55,52 +66,62 @@ def main():
     manifest = os.path.join(workdir, "train.jsonl")
     rng = np.random.RandomState(42)
     chars = list("的一是在不了有大人上中国我他这为来")
-    rows, wavs, refs = [], [], []
+    seg_s, sr = 0.35, 16000
+    wavs, refs, rows = [], [], []
     for i in range(24):
-        n = int(3.0 * 16000)
-        t = np.arange(n) / 16000.0
-        wav = (
-            0.3 * np.sin(2 * np.pi * (150 + i * 23) * t)
-            + 0.2 * np.sin(2 * np.pi * (400 + i * 37) * t)
-            + 0.05 * rng.randn(n)
-        ).astype(np.float32)
+        n_chars = rng.randint(5, 9)
+        idxs = rng.randint(0, len(chars), size=n_chars)
+        pieces = []
+        for c in idxs:
+            t = np.arange(int(seg_s * sr)) / sr
+            f0 = 200.0 + 60.0 * c
+            pieces.append(
+                0.3 * np.sin(2 * np.pi * f0 * t)
+                + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
+            )
+        wav = np.concatenate(pieces) + 0.03 * rng.randn(
+            int(seg_s * sr) * n_chars
+        )
+        wav = wav.astype(np.float32)
+        text = "".join(chars[c] for c in idxs)
         path = os.path.join(workdir, f"u{i}.wav")
-        write_wav(path, wav, 16000)
-        text = "".join(rng.choice(chars, size=rng.randint(4, 9)))
-        rows.append(ManifestRow(audio=path, text=text, duration=3.0, dialect="syn"))
+        write_wav(path, wav, sr)
+        rows.append(ManifestRow(audio=path, text=text,
+                                duration=len(wav) / sr, dialect="syn"))
         wavs.append(wav)
         refs.append(text)
     write_manifest(rows, manifest)
 
-    ckpt = os.path.join(workdir, "ckpt")
     cli = [sys.executable, "-m", "jiao_liao_speech_recognition_tpu.cli"]
-    if not os.path.isdir(os.path.join(ckpt, "final")):
-        print(f"training {steps} steps ...", flush=True)
-        sh(cli + [
-            "train", "--config", "configs/adapter_finetune.yaml",
-            f"data.train_manifest={manifest}",
-            "data.batch_size=8", "data.bucket_boundaries_seconds=[3.0]",
-            "frontend.chunk_seconds=3.0",
-            "ctc_model.d_model=128", "ctc_model.num_layers=2",
-            "ctc_model.num_heads=4", "ctc_model.mlp_dim=256",
-            "ctc_model.conv_channels=64",
-            "ctc_model.use_flash_attention=false",
-            "ctc_model.adapter.kind=none", "ctc_model.dropout=0.0",
-            "train.train_adapters_only=false",
-            f"train.optimizer.total_steps={steps}",
-            "train.optimizer.learning_rate=3e-3",
-            "train.optimizer.warmup_steps=50",
-            f"train.checkpoint_dir={ckpt}",
-            f"train.metrics_path={os.path.join(workdir, 'm.jsonl')}",
-        ])
-
-    out = sh(cli + [
-        "evaluate", "--manifest", manifest,
-        "--checkpoint", os.path.join(ckpt, "final"), "--batch-size", "8",
-    ])
-    offline = json.loads(out.strip().splitlines()[-1])
-    print(f"offline greedy: CER {offline['cer']} WER {offline['wer']}",
-          flush=True)
+    common = cli + [
+        "train", "--config", "configs/adapter_finetune.yaml",
+        f"data.train_manifest={manifest}",
+        "data.batch_size=8", "data.bucket_boundaries_seconds=[3.2]",
+        "frontend.chunk_seconds=3.2", "frontend.whisper_norm=false",
+        "ctc_model.d_model=128", "ctc_model.num_layers=2",
+        "ctc_model.num_heads=4", "ctc_model.mlp_dim=256",
+        "ctc_model.conv_channels=64", "ctc_model.use_flash_attention=false",
+        "ctc_model.adapter.kind=none", "ctc_model.dropout=0.0",
+        "train.train_adapters_only=false",
+        f"train.optimizer.total_steps={steps}",
+        "train.optimizer.learning_rate=3e-3", "train.optimizer.warmup_steps=50",
+    ]
+    variants = {
+        "offline": [],
+        "matched": [
+            "ctc_model.attention_left_context=12",
+            "ctc_model.attention_right_context=6",
+            "ctc_model.position_mode=none",
+        ],
+    }
+    for name, extra in variants.items():
+        ckpt = os.path.join(workdir, f"ckpt_{name}")
+        if not os.path.isdir(os.path.join(ckpt, "final")):
+            print(f"training '{name}' ({steps} steps) ...", flush=True)
+            sh(common + extra + [
+                f"train.checkpoint_dir={ckpt}",
+                f"train.metrics_path={os.path.join(workdir, name + '.jsonl')}",
+            ])
 
     from jiao_liao_speech_recognition_tpu.api import load
     from jiao_liao_speech_recognition_tpu.evals import corpus_cer
@@ -109,25 +130,16 @@ def main():
         StreamingTranscriber,
     )
 
-    bundle = load(checkpoint=os.path.join(ckpt, "final"))
-    offline_texts = bundle.transcribe(wavs)
-
-    results = {"offline_cer": offline["cer"]}
-    hop = int(0.32 * 16000)
-    # Two regimes:
-    # * window >= utterance (3.2 s): isolates the LOOKAHEAD cost — the
-    #   window start stays 0, so position embeddings match training and the
-    #   only streaming effect is committing frames with limited right
-    #   context.
-    # * window < utterance (1.92 s): the sliding regime. A model trained on
-    #   full utterances (absolute sinusoidal positions) is NOT shift-
-    #   invariant; expect degradation unless training used windowed crops —
-    #   the standard streaming-ASR training recipe, supported here via the
-    #   data pipeline's cropping/chunking (train with
-    #   frontend.chunk_seconds == the serving window).
-    for window in (3.2, 1.92):
-        for look in (0.16, 0.32, 0.64):
-            sc = StreamingConfig(window_seconds=window, hop_seconds=0.32,
+    results = {}
+    hop = int(0.32 * sr)
+    for name in variants:
+        bundle = load(checkpoint=os.path.join(workdir, f"ckpt_{name}", "final"))
+        offline_texts = bundle.transcribe(wavs)
+        off_cer = corpus_cer(refs, offline_texts)
+        results[f"{name}_offline_cer"] = off_cer
+        print(f"[{name}] offline greedy CER {off_cer:.4f}", flush=True)
+        for look in (0.32, 0.64):
+            sc = StreamingConfig(window_seconds=1.92, hop_seconds=0.32,
                                  lookahead_seconds=look)
             streamed = []
             for wav in wavs:
@@ -139,12 +151,10 @@ def main():
             match = float(
                 np.mean([a == b for a, b in zip(streamed, offline_texts)])
             )
-            results[f"w{window}_look{look}"] = {
-                "cer": cer, "offline_match": match,
-            }
+            results[f"{name}_look{look}"] = {"cer": cer, "offline_match": match}
             print(
-                f"streamed window {window}s hop 0.32s lookahead {look}s: "
-                f"CER {cer:.4f}  exact-match vs offline {match:.2f}",
+                f"[{name}] streamed window 1.92s lookahead {look}s: "
+                f"CER {cer:.4f}  exact-match vs own offline {match:.2f}",
                 flush=True,
             )
     print(json.dumps(results))

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import CTCModelConfig
-from .layers import TransformerBlock, length_mask, sinusoidal_positions
+from .layers import (
+    TransformerBlock,
+    banded_length_mask,
+    length_mask,
+    sinusoidal_positions,
+)
 
 
 class ConvSubsampler(nn.Module):
@@ -85,11 +90,23 @@ class CTCEncoderModel(nn.Module):
             out_lengths = (out_lengths + 1) // 2
             f //= 2
 
-        x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None, :, :]
+        if cfg.position_mode == "sinusoidal":
+            x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None, :, :]
+        elif cfg.position_mode != "none":
+            # "none": shift-invariant encoder (the conv subsampler carries
+            # local order) — required for sliding-window streaming to match
+            # training (serve/streaming.py)
+            raise ValueError(f"unknown position_mode {cfg.position_mode!r}")
         if cfg.dropout > 0:
             x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
-        mask = length_mask(out_lengths, t_out)  # [B,1,1,T']
+        L, R = cfg.attention_left_context, cfg.attention_right_context
+        if L >= 0 or R >= 0:
+            # streaming-matched band attention ([B,1,T,T] routes every
+            # block to the general attention path)
+            mask = banded_length_mask(out_lengths, t_out, L, R)
+        else:
+            mask = length_mask(out_lengths, t_out)  # [B,1,1,T']
         block = TransformerBlock
         if cfg.remat:
             # rematerialize each block on the backward pass (long fine-tune

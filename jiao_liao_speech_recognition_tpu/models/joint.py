@@ -30,7 +30,12 @@ import jax.numpy as jnp
 
 from ..utils.config import JointModelConfig
 from .ctc_model import CTCHead, ConvSubsampler
-from .layers import TransformerBlock, length_mask, sinusoidal_positions
+from .layers import (
+    TransformerBlock,
+    banded_length_mask,
+    length_mask,
+    sinusoidal_positions,
+)
 
 
 class JointCTCAttentionModel(nn.Module):
@@ -106,8 +111,16 @@ class JointCTCAttentionModel(nn.Module):
         while f > 1:
             out_lengths = (out_lengths + 1) // 2
             f //= 2
-        x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None]
-        mask = length_mask(out_lengths, t_out)
+        if cfg.position_mode == "sinusoidal":
+            x = x + sinusoidal_positions(t_out, cfg.d_model, dtype)[None]
+        elif cfg.position_mode != "none":
+            raise ValueError(f"unknown position_mode {cfg.position_mode!r}")
+        L, R = cfg.attention_left_context, cfg.attention_right_context
+        if L >= 0 or R >= 0:
+            # streaming-matched band attention (see CTCModelConfig)
+            mask = banded_length_mask(out_lengths, t_out, L, R)
+        else:
+            mask = length_mask(out_lengths, t_out)
         for blk in self.enc_blocks:
             x = blk(x, mask, None, None, deterministic, None, None, None, False)
         return self.enc_ln(x), out_lengths

@@ -668,3 +668,26 @@ def length_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
     """[B] lengths -> [B, 1, 1, max_len] attention mask (True = valid)."""
     valid = jnp.arange(max_len)[None, :] < lengths[:, None]
     return valid[:, None, None, :]
+
+
+def banded_length_mask(
+    lengths: jnp.ndarray,
+    max_len: int,
+    left: int,
+    right: int,
+) -> jnp.ndarray:
+    """Length mask restricted to a (left, right) context band around each
+    query: [B, 1, T, T], True where key j is valid AND q-left <= j <= q+right
+    (-1 = unbounded on that side). Streaming-matched training
+    (CTCModelConfig.attention_left_context/right): note the [.., T, T] shape
+    intentionally bypasses the prefix-mask fused/flash fast paths — banded
+    attention takes the general XLA path."""
+    mask = length_mask(lengths, max_len)  # [B,1,1,T]
+    qi = jnp.arange(max_len)[:, None]
+    ki = jnp.arange(max_len)[None, :]
+    band = jnp.ones((max_len, max_len), bool)
+    if left >= 0:
+        band &= ki >= qi - left
+    if right >= 0:
+        band &= ki <= qi + right
+    return mask & band[None, None, :, :]

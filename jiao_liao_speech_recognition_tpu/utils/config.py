@@ -116,6 +116,18 @@ class CTCModelConfig:
     # 'erf' = exact GELU, the form Whisper checkpoints pin (WhisperConfig
     # has no knob — HF logit parity requires erf there).
     gelu_form: str = "tanh"
+    # streaming-matched training: limit encoder self-attention to a band of
+    # (left, right) ENCODER frames around each query; -1 = unbounded (the
+    # offline default). A model trained with a band decodes identically
+    # under sliding-window streaming (serve/streaming.py) once the window
+    # covers the left context and lookahead covers the right.
+    attention_left_context: int = -1
+    attention_right_context: int = -1
+    # "sinusoidal" = absolute positions (offline default); "none" = drop
+    # them — the conv subsampler provides local order, making the encoder
+    # shift-invariant, which sliding-window streaming requires for
+    # train/serve consistency.
+    position_mode: str = "sinusoidal"
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
 
@@ -174,6 +186,10 @@ class JointModelConfig:
     use_flash_attention: bool = True
     remat: bool = False
     gelu_form: str = "tanh"  # see CTCModelConfig.gelu_form
+    # encoder streaming-matched training knobs; see CTCModelConfig
+    attention_left_context: int = -1
+    attention_right_context: int = -1
+    position_mode: str = "sinusoidal"
     # SpeechBrain's default hybrid weighting (ctc_weight 0.3)
     ctc_weight: float = 0.3
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
