@@ -27,11 +27,12 @@ its offline decode once lookahead covers its right context; the offline
 model loses accuracy streamed because its training never bounded its
 context. Measured numbers live in docs/PERFORMANCE.md.
 
-Usage: python examples/streaming_quality.py [--workdir /tmp/jl_sq2] [--steps 800]
+Usage: python examples/streaming_quality.py [--workdir /tmp/jl_sq3] [--steps 2000]
 """
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -50,7 +51,7 @@ def sh(args):
 
 
 def main():
-    workdir, steps = "/tmp/jl_sq2", 800
+    workdir, steps = "/tmp/jl_sq3", 2000
     for i, a in enumerate(sys.argv):
         if a == "--workdir" and i + 1 < len(sys.argv):
             workdir = sys.argv[i + 1]
@@ -114,13 +115,39 @@ def main():
             "ctc_model.position_mode=none",
         ],
     }
+    def _trained_to_completion(metrics_path):
+        # Trust a cached checkpoint only if its training run reached the
+        # requested step count uninterrupted — a SIGTERM checkpoint-and-exit
+        # also writes `final`, and a 10-step model would make every streamed
+        # comparison trivially (and meaninglessly) exact.
+        try:
+            last = {}
+            with open(metrics_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("event") == "sigterm_checkpoint_and_exit":
+                        return False
+                    last = rec
+            return last.get("step", 0) >= steps
+        except OSError:
+            return False
+
     for name, extra in variants.items():
         ckpt = os.path.join(workdir, f"ckpt_{name}")
-        if not os.path.isdir(os.path.join(ckpt, "final")):
+        metrics = os.path.join(workdir, name + ".jsonl")
+        done = os.path.isdir(os.path.join(ckpt, "final")) and _trained_to_completion(metrics)
+        if not done:
+            # an interrupted run would otherwise resume (train_loop restores
+            # from checkpoint_dir) with a stale metrics trail — start clean
+            for p in (ckpt, metrics):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.isfile(p):
+                    os.remove(p)
             print(f"training '{name}' ({steps} steps) ...", flush=True)
             sh(common + extra + [
                 f"train.checkpoint_dir={ckpt}",
-                f"train.metrics_path={os.path.join(workdir, name + '.jsonl')}",
+                f"train.metrics_path={metrics}",
             ])
 
     from jiao_liao_speech_recognition_tpu.api import load
