@@ -494,18 +494,17 @@ class ModelBundle:
         audio: Union[str, np.ndarray, Sequence],
         sample_rate: Optional[int] = None,
     ) -> List[List[dict]]:
-        """Greedy transcription WITH per-token timestamps (ctc/joint
-        families — the CTC frame alignment gives them directly; beyond-
-        reference surface). Returns, per utterance, a list of
-        ``{"token": str, "start": s, "end": s}`` whose concatenated tokens
-        equal transcribe()'s text (same emission rule, host-side collapse
-        keeping spans — decode/ctc.ctc_collapse_with_times). Long recordings
-        chunk exactly like transcribe(); chunk k's tokens are offset by
-        k * chunk_seconds."""
+        """Greedy transcription WITH per-token timestamps. Returns, per
+        utterance, a list of ``{"token": str, "start": s, "end": s}`` whose
+        concatenated tokens equal transcribe(greedy)'s text. ctc/joint
+        families: the CTC frame alignment gives spans directly (same emission
+        rule, host-side collapse keeping spans —
+        decode/ctc.ctc_collapse_with_times). whisper family: cross-attention
+        DTW forced alignment (decode/align.py — the TPU-native counterpart of
+        transformers' return_token_timestamps). Long recordings chunk exactly
+        like transcribe(); chunk k's tokens are offset by k * chunk_seconds."""
         if self.config.model_family == "whisper":
-            raise NotImplementedError(
-                "timestamps use the CTC frame alignment (ctc/joint families)"
-            )
+            return self._transcribe_timed_whisper(audio, sample_rate)
         from ..decode.ctc import ctc_collapse_with_times
 
         fe = self.config.frontend
@@ -536,6 +535,50 @@ class ModelBundle:
                         "token": self.tokenizer.decode([tid]),
                         "start": round(off + t0 * frame_s, 3),
                         "end": round(off + t1 * frame_s, 3),
+                    })
+            out.append(utt)
+        return out
+
+    def _transcribe_timed_whisper(
+        self, audio, sample_rate
+    ) -> List[List[dict]]:
+        """Whisper per-token timestamps: greedy generate (the same jitted
+        program transcribe(greedy) runs), then one teacher-forced pass whose
+        captured cross-attention q/k feed the DTW alignment in
+        decode/align.py. Alignment cost is one extra forward per chunk,
+        only on this path."""
+        from dataclasses import replace as _dc_replace
+
+        from ..decode import whisper_generate as wg
+        from ..decode.align import whisper_token_spans
+
+        fe = self.config.frontend
+        wcfg = self.config.whisper
+        wavs, alens, owners = self._prepare_audio_chunked(audio, sample_rate)
+        wav_dev, = self._shard_inputs(jnp.asarray(wavs))
+        feats = features.featurize_batch(wav_dev, fe)
+        dc = _dc_replace(self.config.decode, strategy="greedy")
+        ids, lens = _whisper_generate_fn_for(self.config, dc)(self.params, feats)
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        prompt, eot = wg.resolve_specials(wcfg)
+        # one encoder frame = 2 mel hops (Whisper conv subsampling, stride 2:
+        # 3000 mel frames -> max_source_positions=1500) = 20 ms at 16 kHz
+        frame_s = fe.hop_length * 2 / fe.sample_rate
+        valid = np.maximum(alens // (fe.hop_length * 2), 1).astype(np.int64)
+        spans = whisper_token_spans(
+            wcfg, self.params, feats, ids, lens, prompt, eot, valid
+        )
+        out: List[List[dict]] = []
+        for group in owners:
+            utt: List[dict] = []
+            for j, piece in enumerate(group):
+                off = j * fe.chunk_seconds
+                n = int(lens[piece])
+                for tid, (f0, f1) in zip(ids[piece][:n], spans[piece]):
+                    utt.append({
+                        "token": self.tokenizer.decode([int(tid)]),
+                        "start": round(off + f0 * frame_s, 3),
+                        "end": round(off + f1 * frame_s, 3),
                     })
             out.append(utt)
         return out

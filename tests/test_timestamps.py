@@ -110,7 +110,35 @@ def test_streaming_timed_tokens_match_offline():
     assert st.timed_tokens == want
 
 
-def test_transcribe_timed_whisper_rejected():
+# ------------------------------------------- whisper cross-attention DTW
+def test_dtw_spans_recover_peaked_alignment():
+    """Tokens whose attention is concentrated on known frame runs must get
+    spans containing their peaks, contiguous and in order."""
+    from jiao_liao_speech_recognition_tpu.decode.align import dtw_spans
+
+    S, T = 3, 12
+    peaks = [(1, 3), (5, 7), (9, 11)]
+    A = np.full((S, T), 1e-3)
+    for i, (a, b) in enumerate(peaks):
+        A[i, a:b] = 1.0
+    A /= A.sum(axis=1, keepdims=True)
+    spans = dtw_spans(A)
+    assert len(spans) == S
+    last_end = 0
+    for (s, e), (a, b) in zip(spans, peaks):
+        assert s == last_end  # contiguous, non-overlapping
+        assert e > s
+        # the span covers the token's attention peak
+        assert s <= int(np.argmax(A[peaks.index((a, b))])) < e
+        last_end = e
+    assert last_end == T
+
+    # degenerate shapes
+    assert dtw_spans(np.zeros((0, 5))) == []
+    assert dtw_spans(np.ones((1, 4)) / 4.0) == [(0, 4)]
+
+
+def _whisper_bundle(chunk_seconds=0.64):
     from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
     from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
     from jiao_liao_speech_recognition_tpu.utils.config import (
@@ -118,14 +146,47 @@ def test_transcribe_timed_whisper_rejected():
         WhisperConfig,
     )
 
+    # enc positions = chunk mel frames / 2 (conv stride 2)
+    src = int(chunk_seconds * 16000 / 160) // 2
     cfg = ExperimentConfig(
         model_family="whisper",
         whisper=WhisperConfig(
-            vocab_size=16, d_model=32, encoder_layers=1, decoder_layers=1,
-            num_heads=2, mlp_dim=64, max_source_positions=16,
-            max_target_positions=8, use_flash_attention=False,
+            vocab_size=96, d_model=64, encoder_layers=1, decoder_layers=2,
+            num_heads=2, mlp_dim=128, max_source_positions=src,
+            max_target_positions=16, prompt_ids=(1, 3), eot_id=2,
+            dtype="float32", use_flash_attention=False,
         ),
     )
-    b = ModelBundle(config=cfg, params=None, tokenizer=CharTokenizer([]))
-    with pytest.raises(NotImplementedError, match="alignment"):
-        b.transcribe_timed(np.zeros(1600, np.float32))
+    cfg.frontend.chunk_seconds = chunk_seconds
+    cfg.decode.max_decode_len = 12
+    params = ModelBundle._init_params(cfg)
+    vocab = [chr(0x4E00 + i) for i in range(94)]
+    return ModelBundle(
+        config=cfg, params=params, tokenizer=CharTokenizer(vocab)
+    )
+
+
+def test_whisper_transcribe_timed_matches_text():
+    bundle = _whisper_bundle()
+    rng = np.random.RandomState(7)
+    audio = (rng.randn(int(16000 * 0.6)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+    assert len(timed) > 0  # the random model must actually emit tokens
+    last = 0.0
+    for t in timed:
+        assert last <= t["start"] < t["end"]
+        last = t["end"]
+    # spans stay inside the audio's valid encoder frames (0.6 s + rounding)
+    assert timed[-1]["end"] <= 0.62
+
+
+def test_whisper_transcribe_timed_long_form_offsets():
+    bundle = _whisper_bundle(chunk_seconds=0.64)
+    rng = np.random.RandomState(8)
+    audio = (rng.randn(int(16000 * 1.1)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+    assert any(t["start"] >= 0.64 for t in timed)  # tokens from chunk 2
