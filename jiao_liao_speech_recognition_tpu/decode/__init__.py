@@ -8,6 +8,7 @@ beyond the reference, whose lockfile has no kenlm/pyctcdecode — enabled only
 via DecodeConfig.lm_path/lm_weight, off by default for reference parity.
 """
 
+from .align import whisper_token_spans  # noqa: F401
 from .ctc import ctc_greedy_decode, ctc_prefix_beam_search  # noqa: F401
 from .lm import NGramCharLM  # noqa: F401
 from .speculative import joint_spec_greedy, spec_greedy_from_enc  # noqa: F401
