@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -82,13 +83,26 @@ def cmd_transcribe(args) -> int:
         )
     if getattr(args, "stream", False):
         return _transcribe_streaming(bundle, args)
+    if getattr(args, "caption", None):
+        # subtitle sidecar files from the per-token spans (utils/captions.py)
+        from .utils.captions import format_srt, format_vtt, group_cues
+
+        timed = bundle.transcribe_timed(args.audio)
+        fmt = format_srt if args.caption == "srt" else format_vtt
+        for path, toks in zip(args.audio, timed):
+            out_path = os.path.splitext(path)[0] + "." + args.caption
+            with open(out_path, "w", encoding="utf-8") as f:
+                f.write(fmt(group_cues(toks)))
+            print(json.dumps(
+                {"audio": path, "caption": out_path,
+                 "text": "".join(t["token"] for t in toks)},
+                ensure_ascii=False,
+            ))
+        return 0
     if getattr(args, "timestamps", False):
-        # per-token CTC frame alignment (ctc/joint families)
-        try:
-            timed = bundle.transcribe_timed(args.audio)
-        except NotImplementedError as e:
-            print(f"error: --timestamps: {e}", file=sys.stderr)
-            return 2
+        # per-token spans: CTC frame alignment (ctc/joint) or whisper
+        # cross-attention DTW (decode/align.py)
+        timed = bundle.transcribe_timed(args.audio)
         for path, toks in zip(args.audio, timed):
             print(json.dumps(
                 {"audio": path,
@@ -385,8 +399,13 @@ def main(argv=None) -> int:
     )
     pr.add_argument(
         "--timestamps", action="store_true",
-        help="emit per-token start/end seconds from the CTC frame "
-        "alignment (ctc/joint families)",
+        help="emit per-token start/end seconds (ctc/joint: CTC frame "
+        "alignment; whisper: cross-attention DTW)",
+    )
+    pr.add_argument(
+        "--caption", choices=["srt", "vtt"],
+        help="write a subtitle sidecar file next to each audio file "
+        "(implies --timestamps)",
     )
     pr.add_argument(
         "--stream", action="store_true",

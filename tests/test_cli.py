@@ -107,6 +107,18 @@ def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
     assert out["text"] == rec["text"]
     assert all(t["start"] < t["end"] for t in out["tokens"])
 
+    # --caption srt: sidecar file next to the audio, cues carry the text
+    rc = cli.main([
+        "transcribe", str(tmp / "u0.wav"),
+        "--checkpoint", str(tmp / "ckpt" / "final"), "--caption", "srt",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["caption"] == str(tmp / "u0.srt") and out["text"] == rec["text"]
+    srt = (tmp / "u0.srt").read_text(encoding="utf-8")
+    assert srt.startswith("1\n00:00:0") and "-->" in srt
+    assert rec["text"].startswith(srt.splitlines()[2][:1])  # first cue text
+
 
 def test_cli_evaluate_int8_whisper(cli_env, capsys, tmp_path):
     """evaluate --int8 quantizes the whisper serving tree and reports CER/WER
