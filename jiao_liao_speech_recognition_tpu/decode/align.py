@@ -58,12 +58,22 @@ def _decoder_cross_qk(wcfg, params, mel, tokens):
 
 
 def cross_attention_matrix(wcfg, params, mel, tokens) -> np.ndarray:
-    """[B, S, T] f32 — head- and layer-averaged teacher-forced
-    cross-attention probabilities over the full encoder horizon."""
+    """[B, S, T] f32 — teacher-forced cross-attention probabilities over the
+    full encoder horizon. Averages ``wcfg.alignment_heads`` (the HF
+    generation_config (layer, head) pairs, imported by whisper_import) when
+    set; all heads of all layers otherwise (from-scratch checkpoints carry
+    no alignment metadata)."""
     q_layers, k_layers = _decoder_cross_qk(wcfg, params, mel, tokens)
     H = wcfg.num_heads
+    by_layer = {}
+    for l, h in wcfg.alignment_heads:
+        by_layer.setdefault(int(l), []).append(int(h))
     acc: Optional[np.ndarray] = None
-    for q, k in zip(q_layers, k_layers):
+    n = 0
+    for i, (q, k) in enumerate(zip(q_layers, k_layers)):
+        heads = by_layer.get(i) if by_layer else None
+        if by_layer and not heads:
+            continue
         B, S, d = q.shape
         T = k.shape[1]
         dh = d // H
@@ -73,10 +83,16 @@ def cross_attention_matrix(wcfg, params, mel, tokens) -> np.ndarray:
         s -= s.max(axis=-1, keepdims=True)
         p = np.exp(s)
         p /= p.sum(axis=-1, keepdims=True)
-        m = p.mean(axis=1)  # head average -> [B, S, T]
+        if heads:
+            p = p[:, heads]
+        m = p.sum(axis=1)  # -> [B, S, T]
+        n += p.shape[1]
         acc = m if acc is None else acc + m
-    assert acc is not None, "whisper config has zero decoder layers"
-    return acc / len(q_layers)
+    assert acc is not None and n, (
+        "no cross-attention captured: empty decoder or alignment_heads "
+        "referencing layers outside the model"
+    )
+    return acc / n
 
 
 def dtw_spans(attn: np.ndarray) -> List[Tuple[int, int]]:

@@ -277,6 +277,8 @@ def export_hf_checkpoint(bundle, out: str | Path) -> Path:
         "suppress_tokens": list(cfg.suppress_ids),
         "begin_suppress_tokens": list(cfg.begin_suppress_ids),
     }
+    if cfg.alignment_heads:
+        gc["alignment_heads"] = [list(lh) for lh in cfg.alignment_heads]
     (out / "generation_config.json").write_text(
         json.dumps(gc, indent=2), encoding="utf-8"
     )
@@ -286,17 +288,22 @@ def export_hf_checkpoint(bundle, out: str | Path) -> Path:
 def load_hf_generation_constraints(path: str | Path) -> Dict[str, tuple]:
     """Read generation_config.json (HF layout) for the decode-time token
     constraints transformers' generate() applies by default: suppress_tokens
-    (masked every step) and begin_suppress_tokens (first generated step).
-    Returns {} entries when absent so callers can cfg-merge unconditionally.
+    (masked every step), begin_suppress_tokens (first generated step), and
+    alignment_heads (the (layer, head) pairs whose cross-attention tracks
+    time — decode/align.py's timestamp DTW). Returns empty entries when
+    absent so callers can cfg-merge unconditionally.
     """
     p = Path(path)
     gc = p / "generation_config.json" if p.is_dir() else None
-    out = {"suppress_ids": (), "begin_suppress_ids": ()}
+    out = {"suppress_ids": (), "begin_suppress_ids": (), "alignment_heads": ()}
     if gc is not None and gc.exists():
         data = json.loads(gc.read_text(encoding="utf-8"))
         out["suppress_ids"] = tuple(int(t) for t in data.get("suppress_tokens") or ())
         out["begin_suppress_ids"] = tuple(
             int(t) for t in data.get("begin_suppress_tokens") or ()
+        )
+        out["alignment_heads"] = tuple(
+            (int(l), int(h)) for l, h in data.get("alignment_heads") or ()
         )
     return out
 
@@ -331,6 +338,7 @@ def whisper_config_from_hf(path: str | Path):
         max_target_positions=data.get("max_target_positions", 448),
         suppress_ids=gc["suppress_ids"],
         begin_suppress_ids=gc["begin_suppress_ids"],
+        alignment_heads=gc["alignment_heads"],
     )
 
 

@@ -159,6 +159,10 @@ class WhisperConfig:
     # (imported from generation_config.json by whisper_import)
     suppress_ids: Tuple[int, ...] = ()
     begin_suppress_ids: Tuple[int, ...] = ()
+    # (layer, head) pairs whose cross-attention aligns with time — HF
+    # generation_config.json "alignment_heads"; empty -> all heads averaged
+    # (decode/align.py timestamp DTW)
+    alignment_heads: Tuple[Tuple[int, int], ...] = ()
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
 
 

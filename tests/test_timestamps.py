@@ -182,6 +182,75 @@ def test_whisper_transcribe_timed_matches_text():
     assert timed[-1]["end"] <= 0.62
 
 
+def test_whisper_alignment_heads_select_subset():
+    """alignment_heads=((layer, head), ...) restricts the DTW's attention
+    average to those heads (HF generation_config semantics); rows stay a
+    probability distribution and the selection actually changes the matrix."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.decode.align import (
+        cross_attention_matrix,
+    )
+    from jiao_liao_speech_recognition_tpu.frontend import features
+
+    bundle = _whisper_bundle()
+    fe = bundle.config.frontend
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(int(16000 * 0.64)) * 0.1).astype(np.float32)
+    mel = features.featurize_batch(jnp.asarray(wav[None]), fe)
+    tokens = np.array([[1, 3, 10, 11, 12, 2]])
+
+    wcfg = bundle.config.whisper
+    A_all = cross_attention_matrix(wcfg, bundle.params, mel, tokens)
+    sub = dataclasses.replace(wcfg, alignment_heads=((1, 0),))
+    A_sub = cross_attention_matrix(sub, bundle.params, mel, tokens)
+    for A in (A_all, A_sub):
+        assert A.shape == (1, 6, 32)
+        np.testing.assert_allclose(A.sum(axis=-1), 1.0, rtol=1e-5)
+    assert np.abs(A_all - A_sub).max() > 1e-6  # the subset genuinely differs
+
+    # alignment_heads pointing outside the model fail loudly
+    bad = dataclasses.replace(wcfg, alignment_heads=((99, 0),))
+    with pytest.raises(AssertionError, match="alignment_heads"):
+        cross_attention_matrix(bad, bundle.params, mel, tokens)
+
+
+def test_hf_alignment_heads_roundtrip(tmp_path):
+    """generation_config.json alignment_heads import -> WhisperConfig ->
+    export writes them back in HF layout."""
+    import dataclasses
+    import json as _json
+
+    from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+        load_hf_generation_constraints,
+    )
+
+    (tmp_path / "generation_config.json").write_text(_json.dumps({
+        "suppress_tokens": [5], "begin_suppress_tokens": [],
+        "alignment_heads": [[0, 1], [1, 0]],
+    }))
+    gc = load_hf_generation_constraints(tmp_path)
+    assert gc["alignment_heads"] == ((0, 1), (1, 0))
+
+    from jiao_liao_speech_recognition_tpu.models.whisper_import import (
+        export_hf_checkpoint,
+    )
+
+    bundle = _whisper_bundle()
+    cfg = dataclasses.replace(
+        bundle.config,
+        whisper=dataclasses.replace(
+            bundle.config.whisper, alignment_heads=gc["alignment_heads"]
+        ),
+    )
+    bundle = dataclasses.replace(bundle, config=cfg)
+    out = export_hf_checkpoint(bundle, tmp_path / "hf")
+    data = _json.loads((out / "generation_config.json").read_text())
+    assert data["alignment_heads"] == [[0, 1], [1, 0]]
+
+
 def test_whisper_transcribe_timed_long_form_offsets():
     bundle = _whisper_bundle(chunk_seconds=0.64)
     rng = np.random.RandomState(8)

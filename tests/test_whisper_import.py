@@ -226,13 +226,16 @@ def test_load_hf_generation_constraints(tmp_path):
     d = tmp_path / "ckpt"
     d.mkdir()
     assert load_hf_generation_constraints(d) == {
-        "suppress_ids": (), "begin_suppress_ids": (),
+        "suppress_ids": (), "begin_suppress_ids": (), "alignment_heads": (),
     }
     (d / "generation_config.json").write_text(
         _json.dumps({"suppress_tokens": [5, 6], "begin_suppress_tokens": [7]})
     )
     got = load_hf_generation_constraints(d)
-    assert got == {"suppress_ids": (5, 6), "begin_suppress_ids": (7,)}
+    assert got == {
+        "suppress_ids": (5, 6), "begin_suppress_ids": (7,),
+        "alignment_heads": (),
+    }
 
 
 def test_import_hf_checkpoint_cli_roundtrip(hf_whisper, tmp_path):
