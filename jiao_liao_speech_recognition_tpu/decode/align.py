@@ -25,36 +25,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _decoder_cross_qk(wcfg, params, mel, tokens):
+def _decoder_cross_qk(wcfg, params, mel, tokens, layers=None):
     """Teacher-forced pass capturing cross-attention q/k per decoder block.
 
-    Returns (q_layers, k_layers): lists of [B, S, d] / [B, T, d] f32 arrays,
-    one per decoder layer. ``tokens`` is the full [B, S] sequence (prompt +
-    generated); ``mel`` the [B, mels, frames] features the ids were decoded
-    from (the encoder output is recomputed — one extra encoder forward, only
-    on the timestamps path).
+    Returns {layer_index: (q [B, S, d], k [B, T, d])} f32. ``tokens`` is the
+    full [B, S] sequence (prompt + generated); ``mel`` the [B, mels, frames]
+    features the ids were decoded from (the encoder is recomputed once,
+    outside the capture, only on the timestamps path). ``layers`` limits the
+    capture to those block indices (alignment_heads checkpoints: k alone is
+    [B, 1500, d_model] f32 per layer at large-v3 scale — capturing 2 curated
+    layers instead of 32 matters); None captures all.
     """
     from ..models.whisper import WhisperModel
 
     model = WhisperModel(wcfg)
+    enc = model.apply({"params": params}, mel, method=WhisperModel.encode)
+    wanted = None if layers is None else {f"block_{i}" for i in layers}
 
     def keep(mdl, _method):
-        return mdl.name in ("q_proj", "k_proj")
+        path = getattr(mdl, "path", ())
+        return (
+            mdl.name in ("q_proj", "k_proj")
+            and "cross_attn" in path
+            and (wanted is None or not wanted.isdisjoint(path))
+        )
 
     _, state = model.apply(
         {"params": params},
-        mel,
         jnp.asarray(tokens, jnp.int32),
+        enc,
+        method=WhisperModel.decode,
         capture_intermediates=keep,
         mutable=["intermediates"],
     )
-    dec = state["intermediates"]["decoder"]
-    q_layers, k_layers = [], []
+    # an empty capture (alignment_heads outside the model) yields no
+    # 'intermediates' collection at all — return {} and let the caller error
+    dec = state.get("intermediates", {}).get("decoder", {})
+    out = {}
     for i in range(wcfg.decoder_layers):
-        blk = dec[f"block_{i}"]["cross_attn"]
-        q_layers.append(np.asarray(blk["q_proj"]["__call__"][0], np.float32))
-        k_layers.append(np.asarray(blk["k_proj"]["__call__"][0], np.float32))
-    return q_layers, k_layers
+        if layers is not None and i not in layers:
+            continue
+        blk = dec.get(f"block_{i}", {}).get("cross_attn")
+        if blk is None:
+            continue  # alignment_heads referencing absent layers: caller errors
+        out[i] = (
+            np.asarray(blk["q_proj"]["__call__"][0], np.float32),
+            np.asarray(blk["k_proj"]["__call__"][0], np.float32),
+        )
+    return out
 
 
 def cross_attention_matrix(wcfg, params, mel, tokens) -> np.ndarray:
@@ -63,17 +81,17 @@ def cross_attention_matrix(wcfg, params, mel, tokens) -> np.ndarray:
     generation_config (layer, head) pairs, imported by whisper_import) when
     set; all heads of all layers otherwise (from-scratch checkpoints carry
     no alignment metadata)."""
-    q_layers, k_layers = _decoder_cross_qk(wcfg, params, mel, tokens)
-    H = wcfg.num_heads
     by_layer = {}
     for l, h in wcfg.alignment_heads:
         by_layer.setdefault(int(l), []).append(int(h))
+    captured = _decoder_cross_qk(
+        wcfg, params, mel, tokens, layers=set(by_layer) if by_layer else None
+    )
+    H = wcfg.num_heads
     acc: Optional[np.ndarray] = None
     n = 0
-    for i, (q, k) in enumerate(zip(q_layers, k_layers)):
+    for i, (q, k) in sorted(captured.items()):
         heads = by_layer.get(i) if by_layer else None
-        if by_layer and not heads:
-            continue
         B, S, d = q.shape
         T = k.shape[1]
         dh = d // H
