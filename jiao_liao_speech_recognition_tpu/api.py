@@ -67,9 +67,15 @@ def transcribe(
     audio: Union[str, np.ndarray, Sequence],
     sample_rate: Optional[int] = None,
     decode_cfg=None,
-) -> List[str]:
+    timestamps: bool = False,
+):
     """Audio -> text via the bundle's model family (CTC greedy/beam or
-    Whisper AR generate). Returns one transcript per input utterance."""
+    Whisper AR generate). Returns one transcript per input utterance; with
+    ``timestamps=True``, one ``[{"token", "start", "end"}, ...]`` list per
+    utterance instead (greedy; CTC frame alignment or whisper cross-attention
+    DTW — see ModelBundle.transcribe_timed)."""
+    if timestamps:
+        return bundle.transcribe_timed(audio, sample_rate=sample_rate)
     return bundle.transcribe(audio, sample_rate=sample_rate, decode_cfg=decode_cfg)
 
 

@@ -105,6 +105,13 @@ def test_greedy_decode_deterministic(overfit_bundle):
     assert t1 == t2
 
 
+def test_api_transcribe_timestamps(overfit_bundle):
+    bundle, wav, _ = overfit_bundle
+    text = api.transcribe(bundle, wav, sample_rate=16000)[0]
+    timed = api.transcribe(bundle, wav, sample_rate=16000, timestamps=True)[0]
+    assert "".join(t["token"] for t in timed) == text
+
+
 def test_beam_decode_matches_greedy_on_peaky(overfit_bundle):
     bundle, wav, _ = overfit_bundle
     beam_cfg = dataclasses.replace(bundle.config.decode, strategy="beam", beam_size=4)
