@@ -101,13 +101,17 @@ def cmd_transcribe(args) -> int:
         return 0
     if getattr(args, "timestamps", False):
         # per-token spans: CTC frame alignment (ctc/joint) or whisper
-        # cross-attention DTW (decode/align.py)
+        # cross-attention DTW (decode/align.py); word spans use the same
+        # jieba segmentation WER scores (utils/captions.group_words)
+        from .utils.captions import group_words
+
         timed = bundle.transcribe_timed(args.audio)
         for path, toks in zip(args.audio, timed):
             print(json.dumps(
                 {"audio": path,
                  "text": "".join(t["token"] for t in toks),
-                 "tokens": toks},
+                 "tokens": toks,
+                 "words": group_words(toks)},
                 ensure_ascii=False,
             ))
         return 0

@@ -48,6 +48,39 @@ def group_cues(
     return cues
 
 
+def group_words(tokens: Sequence[Dict]) -> List[Dict]:
+    """[{'token','start','end'}] -> [{'word','start','end'}] word-level
+    timestamps, using the eval harness's Mandarin segmentation (jieba when
+    importable, FMM fallback — evals/metrics.segment_words) so word
+    boundaries match the ones WER scores. A word spanning several tokens
+    takes the first token's start and the last's end; tokens merging into
+    one word merge their spans. Falls back to per-token words if the
+    segmenter does not exactly re-cover the text (it always does for jieba's
+    default cut)."""
+    from ..evals.metrics import segment_words
+
+    text = "".join(t["token"] for t in tokens)
+    if not text:
+        return []
+    owner: List[int] = []
+    for i, t in enumerate(tokens):
+        owner.extend([i] * len(t["token"]))
+    segs = [w for w in segment_words(text) if w]
+    if "".join(segs) != text:
+        segs = [t["token"] for t in tokens if t["token"]]
+    words: List[Dict] = []
+    pos = 0
+    for w in segs:
+        first, last = owner[pos], owner[pos + len(w) - 1]
+        words.append({
+            "word": w,
+            "start": tokens[first]["start"],
+            "end": tokens[last]["end"],
+        })
+        pos += len(w)
+    return words
+
+
 def _stamp(seconds: float, decimal_sep: str) -> str:
     ms = int(round(seconds * 1000))
     h, rem = divmod(ms, 3_600_000)

@@ -36,6 +36,30 @@ def test_group_cues_splits_on_gap_duration_and_length():
     assert group_cues([]) == []
 
 
+def test_group_words_merges_token_spans():
+    from jiao_liao_speech_recognition_tpu.utils.captions import group_words
+
+    # "你好" is one jieba/FMM word spanning two tokens; "吗" stays alone
+    toks = [_tok("你", 0.0, 0.2), _tok("好", 0.2, 0.4), _tok("吗", 0.5, 0.7)]
+    words = group_words(toks)
+    assert "".join(w["word"] for w in words) == "你好吗"
+    assert words[0]["start"] == 0.0
+    # the word covering the last char ends at that token's end
+    assert words[-1]["end"] == 0.7
+    # spans are monotone and each word's span covers its tokens
+    last = 0.0
+    for w in words:
+        assert last <= w["start"] < w["end"]
+        last = w["end"]
+
+    # multi-char tokens (BPE) keep offset math consistent
+    toks = [_tok("你好", 0.0, 0.4), _tok("吗", 0.5, 0.7)]
+    words = group_words(toks)
+    assert "".join(w["word"] for w in words) == "你好吗"
+
+    assert group_words([]) == []
+
+
 def test_format_srt_and_vtt():
     cues = [
         {"start": 0.0, "end": 1.5, "text": "你好"},
