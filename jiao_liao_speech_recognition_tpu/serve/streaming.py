@@ -210,6 +210,14 @@ class StreamingTranscriber:
             for t, (s, e) in zip(self._tokens, self._spans)
         ]
 
+    @property
+    def timed_words(self) -> List[dict]:
+        """Committed words with start/end seconds — timed_tokens merged by
+        the same jieba segmentation WER scores (utils/captions.group_words)."""
+        from ..utils.captions import group_words
+
+        return group_words(self.timed_tokens)
+
     # ------------------------------------------------------------- internals
     def _append(self, pcm: np.ndarray) -> None:
         """Buffer audio without dispatching (StreamingPool batches the

@@ -109,6 +109,11 @@ def test_streaming_timed_tokens_match_offline():
     st.finish()
     assert st.timed_tokens == want
 
+    from jiao_liao_speech_recognition_tpu.utils.captions import group_words
+
+    assert st.timed_words == group_words(want)
+    assert "".join(w["word"] for w in st.timed_words) == st.text
+
 
 # ------------------------------------------- whisper cross-attention DTW
 def test_dtw_spans_recover_peaked_alignment():
