@@ -256,6 +256,19 @@ def test_hf_alignment_heads_roundtrip(tmp_path):
     assert data["alignment_heads"] == [[0, 1], [1, 0]]
 
 
+def test_whisper_timed_on_quantized_bundle():
+    """transcribe_timed works on an int8-quantized serving bundle (the
+    teacher-forced capture reads q/k through WFDense's dense_q dequant) and
+    its text matches the quantized bundle's own transcribe."""
+    bundle = _whisper_bundle().quantize()
+    rng = np.random.RandomState(11)
+    audio = (rng.randn(int(16000 * 0.6)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+    assert all(t["start"] < t["end"] for t in timed)
+
+
 def test_whisper_transcribe_timed_long_form_offsets():
     bundle = _whisper_bundle(chunk_seconds=0.64)
     rng = np.random.RandomState(8)
