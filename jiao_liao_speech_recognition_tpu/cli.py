@@ -189,6 +189,20 @@ def cmd_evaluate(args) -> int:
         "wer": corpus_wer(refs, hyps),
         "utterances": len(refs),
     }
+    if getattr(args, "per_utt", None):
+        # per-utterance error-analysis JSONL (worst-first sort is the
+        # reader's one-liner: sort_values("cer"))
+        from .evals import cer as _cer, wer as _wer
+
+        with open(args.per_utt, "w", encoding="utf-8") as f:
+            for row, ref, hyp in zip(rows, refs, hyps):
+                f.write(json.dumps({
+                    "audio": row.audio, "dialect": row.dialect,
+                    "ref": ref, "hyp": hyp,
+                    "cer": round(_cer(ref, hyp), 4),
+                    "wer": round(_wer(ref, hyp), 4),
+                }, ensure_ascii=False) + "\n")
+        result["per_utt"] = args.per_utt
     print(json.dumps(result, ensure_ascii=False))
     return 0
 
@@ -440,6 +454,11 @@ def main(argv=None) -> int:
         "--int8", action="store_true",
         help="evaluate the int8-quantized serving tree (whisper): CER/WER "
         "cost of ModelBundle.quantize() vs the bf16 checkpoint",
+    )
+    pe.add_argument(
+        "--per-utt", metavar="OUT.jsonl",
+        help="also write one error-analysis row per utterance "
+        "(audio, dialect, ref, hyp, cer, wer)",
     )
     pe.set_defaults(fn=cmd_evaluate)
 

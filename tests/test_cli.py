@@ -75,6 +75,20 @@ def test_cli_train_transcribe_evaluate_featurize(cli_env, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= res["cer"] and res["utterances"] == 4
 
+    # --per-utt: one error-analysis row per utterance, corpus CER consistent
+    rc = cli.main([
+        "evaluate", "--manifest", str(tmp / "train.jsonl"),
+        "--checkpoint", str(tmp / "ckpt" / "final"), "--batch-size", "4",
+        "--per-utt", str(tmp / "per_utt.jsonl"),
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    per = [json.loads(l) for l in (tmp / "per_utt.jsonl").read_text().splitlines()]
+    assert len(per) == 4 and res["per_utt"] == str(tmp / "per_utt.jsonl")
+    assert all({"audio", "dialect", "ref", "hyp", "cer", "wer"} <= set(r) for r in per)
+    if all(len(r["ref"]) for r in per):
+        assert (res["cer"] == 0.0) == all(r["cer"] == 0.0 for r in per)
+
     rc = cli.main(["featurize", str(tmp / "u0.wav"), "--output", str(tmp / "f.npy")])
     assert rc == 0
     feats = np.load(tmp / "f.npy")
