@@ -177,6 +177,11 @@ def whisper_token_spans(
     G = int(gen_lens.max()) if B else 0
     if G == 0:
         return [[] for _ in range(B)]
+    # bucket the token horizon so the teacher-forced program compiles once
+    # per bucket, not once per distinct transcript length (decoder
+    # self-attention is causal: end-padding never reaches earlier query
+    # rows, and only rows < P + gen_lens[b] are read below)
+    G = min(-(-G // 8) * 8, gen_ids.shape[1])
     tokens = np.full((B, P + G), eot, np.int64)
     tokens[:, :P] = np.asarray(prompt, np.int64)[None]
     tokens[:, P:] = gen_ids[:, :G]
