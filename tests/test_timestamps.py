@@ -255,6 +255,16 @@ def test_hf_alignment_heads_roundtrip(tmp_path):
     data = _json.loads((out / "generation_config.json").read_text())
     assert data["alignment_heads"] == [[0, 1], [1, 0]]
 
+    # config YAML roundtrip keeps the pairs iterable (saved checkpoints)
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        load_yaml,
+        save_yaml,
+    )
+
+    save_yaml(cfg, str(tmp_path / "cfg.yaml"))
+    back = load_yaml(str(tmp_path / "cfg.yaml"))
+    assert [tuple(p) for p in back.whisper.alignment_heads] == [(0, 1), (1, 0)]
+
 
 def test_whisper_timed_on_quantized_bundle():
     """transcribe_timed works on an int8-quantized serving bundle (the
