@@ -84,15 +84,25 @@ def cmd_transcribe(args) -> int:
     if getattr(args, "stream", False):
         return _transcribe_streaming(bundle, args)
     if getattr(args, "caption", None):
-        # subtitle sidecar files from the per-token spans (utils/captions.py)
-        from .utils.captions import format_srt, format_vtt, group_cues
+        # subtitle sidecar files from the per-token spans (utils/captions.py);
+        # cues are built from word units so a split never lands inside a word
+        from .utils.captions import (
+            format_srt,
+            format_vtt,
+            group_cues,
+            group_words,
+        )
 
         timed = bundle.transcribe_timed(args.audio)
         fmt = format_srt if args.caption == "srt" else format_vtt
         for path, toks in zip(args.audio, timed):
+            units = [
+                {"token": w["word"], "start": w["start"], "end": w["end"]}
+                for w in group_words(toks)
+            ]
             out_path = os.path.splitext(path)[0] + "." + args.caption
             with open(out_path, "w", encoding="utf-8") as f:
-                f.write(fmt(group_cues(toks)))
+                f.write(fmt(group_cues(units)))
             print(json.dumps(
                 {"audio": path, "caption": out_path,
                  "text": "".join(t["token"] for t in toks)},
