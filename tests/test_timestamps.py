@@ -266,6 +266,35 @@ def test_hf_alignment_heads_roundtrip(tmp_path):
     assert [tuple(p) for p in back.whisper.alignment_heads] == [(0, 1), (1, 0)]
 
 
+def test_whisper_timed_with_wf_adapter():
+    """The alignment capture reads q/k through WFDense, so a WFAdapter-
+    injected whisper model (the paper's fine-tuning config) aligns with the
+    adapter's contribution included — text still matches transcribe."""
+    import dataclasses
+
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.utils.config import AdapterConfig
+
+    base = _whisper_bundle()
+    cfg = dataclasses.replace(
+        base.config,
+        whisper=dataclasses.replace(
+            base.config.whisper, adapter=AdapterConfig(kind="wf", wf_rank=2)
+        ),
+    )
+    params = ModelBundle._init_params(cfg)
+    bundle = ModelBundle(
+        config=cfg, params=params,
+        tokenizer=CharTokenizer([chr(0x4E00 + i) for i in range(94)]),
+    )
+    rng = np.random.RandomState(12)
+    audio = (rng.randn(int(16000 * 0.6)) * 0.1).astype(np.float32)
+    text = bundle.transcribe(audio)[0]
+    timed = bundle.transcribe_timed(audio)[0]
+    assert "".join(t["token"] for t in timed) == text
+
+
 def test_whisper_timed_on_quantized_bundle():
     """transcribe_timed works on an int8-quantized serving bundle (the
     teacher-forced capture reads q/k through WFDense's dense_q dequant) and
