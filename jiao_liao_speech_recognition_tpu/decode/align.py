@@ -118,7 +118,10 @@ def dtw_spans(attn: np.ndarray) -> List[Tuple[int, int]]:
     matrix. Moves are (token+1, frame+1) and (token, frame+1) — every token
     occupies >= 1 frame, frames advance strictly — maximizing the summed
     log-probability along the path. Returns one (start_frame, end_frame)
-    half-open span per token, contiguous and non-overlapping."""
+    half-open span per token, contiguous and non-overlapping whenever
+    T >= S; with fewer frames than tokens (pathological) a 1-frame-per-span
+    contiguous cover cannot exist, so spans spread evenly and may repeat
+    (starts stay non-decreasing)."""
     S, T = attn.shape
     if S == 0:
         return []

@@ -143,6 +143,33 @@ def test_dtw_spans_recover_peaked_alignment():
     assert dtw_spans(np.ones((1, 4)) / 4.0) == [(0, 4)]
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_dtw_spans_always_valid(seed):
+    """Property: for any row-stochastic matrix with T >= S, spans are
+    contiguous, non-overlapping, cover [0, T) exactly, and each token gets
+    >= 1 frame; for T < S (pathological) starts stay non-decreasing."""
+    from jiao_liao_speech_recognition_tpu.decode.align import dtw_spans
+
+    rng = np.random.RandomState(seed)
+    S = rng.randint(1, 12)
+    T = rng.randint(1, 40)
+    A = rng.dirichlet(np.ones(T), size=S)
+    spans = dtw_spans(A)
+    assert len(spans) == S
+    if T >= S:
+        prev_end = 0
+        for s, e in spans:
+            assert s == prev_end and e >= s + 1
+            prev_end = e
+        assert prev_end == T
+    else:
+        assert all(e >= s + 1 for s, e in spans)
+        assert all(
+            spans[i][0] <= spans[i + 1][0] for i in range(len(spans) - 1)
+        )
+        assert spans[-1][1] <= T + 1
+
+
 def _whisper_bundle(chunk_seconds=0.64):
     from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
     from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
