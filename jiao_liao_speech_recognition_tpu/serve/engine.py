@@ -50,9 +50,11 @@ class _Request:
     rid: int
     wav: np.ndarray  # padded/trimmed to the model window
     submitted_at: float
+    wav_len: int = 0  # samples before padding (timestamp frame clamp)
     started_at: float = 0.0
     finished_at: float = 0.0
     text: Optional[str] = None
+    timed: Optional[list] = None  # [{"token","start","end"}] when enabled
 
 
 @dataclass
@@ -95,6 +97,7 @@ class ServingEngine:
         slots: int = 8,
         steps_per_dispatch: int = 32,
         max_len: Optional[int] = None,
+        timestamps: bool = False,
     ):
         if bundle.config.model_family != "whisper":
             raise ValueError(
@@ -112,6 +115,11 @@ class ServingEngine:
         self.steps_per_dispatch = int(steps_per_dispatch)
         self.max_len = int(max_len or self.cfg.decode.max_decode_len)
         self.max_len = min(self.max_len, wcfg.max_target_positions)
+        # word timing at harvest: each finished request runs one B=1
+        # teacher-forced alignment pass (decode/align.py) over its retained
+        # window — the horizon is 8-bucketed there, so the pass compiles
+        # once per transcript-length bucket, off the decode hot loop
+        self.timestamps = bool(timestamps)
         self.layout = (
             "head_major"
             if self.slots >= _layers.HEAD_MAJOR_MIN_BATCH
@@ -240,7 +248,10 @@ class ServingEngine:
         wav = features.pad_or_trim(wavs[0], fe)
         rid = self._next_rid
         self._next_rid += 1
-        req = _Request(rid=rid, wav=wav, submitted_at=time.monotonic())
+        req = _Request(
+            rid=rid, wav=wav, submitted_at=time.monotonic(),
+            wav_len=min(len(wavs[0]), self._window),
+        )
         self._queue.append(req)
         self._fill_free_slots()
         return rid
@@ -371,8 +382,39 @@ class ServingEngine:
             req.text = self.bundle.tokenizer.decode(
                 [int(i) for i in ids]
             )
+            if self.timestamps and ln:
+                req.timed = self._align_request(req, ids)
             req.finished_at = now
             self.stats.completed += 1
             self.stats.latencies_s.append(now - req.submitted_at)
             self._results[req.rid] = req
             self._slot_req[s] = None
+
+    def _align_request(self, req: _Request, ids: np.ndarray) -> list:
+        """Per-token spans for one finished request via the same
+        cross-attention DTW bundle.transcribe_timed runs (decode/align.py);
+        output matches it exactly for a single-window utterance."""
+        from ..decode.align import whisper_token_spans
+
+        fe = self.cfg.frontend
+        mel = features.featurize_batch(
+            jnp.asarray(req.wav[None]), fe
+        )
+        frame_s = fe.hop_length * 2 / fe.sample_rate
+        valid = np.asarray(
+            [max(req.wav_len // (fe.hop_length * 2), 1)], np.int64
+        )
+        spans = whisper_token_spans(
+            self.cfg.whisper, self.bundle.params, mel,
+            ids[None].astype(np.int64), np.asarray([len(ids)]),
+            self.prompt, self.eot, valid,
+        )[0]
+        tok = self.bundle.tokenizer
+        return [
+            {
+                "token": tok.decode([int(t)]),
+                "start": round(f0 * frame_s, 3),
+                "end": round(f1 * frame_s, 3),
+            }
+            for t, (f0, f1) in zip(ids, spans)
+        ]

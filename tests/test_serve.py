@@ -184,6 +184,28 @@ def test_serving_engine_matches_offline_greedy():
     assert eng.stats.p95_latency_s >= eng.stats.mean_latency_s >= 0.0
 
 
+def test_serving_engine_timestamps_match_offline_timed():
+    """timestamps=True: each finished request carries per-token spans equal
+    to bundle.transcribe_timed's (same alignment, same window)."""
+    from jiao_liao_speech_recognition_tpu.serve import ServingEngine
+
+    bundle = _tiny_bundle()
+    wavs = _wavs(3, seed=5)
+    eng = ServingEngine(
+        bundle, slots=2, steps_per_dispatch=4, max_len=12, timestamps=True
+    )
+    rids = [eng.submit(w) for w in wavs]
+    got = {}
+    while eng.in_flight:
+        for req in eng.step():
+            got[req.rid] = req
+    for rid, wav in zip(rids, wavs):
+        req = got[rid]
+        want = bundle.transcribe_timed(wav, sample_rate=16000)[0]
+        assert req.timed == want
+        assert "".join(t["token"] for t in req.timed) == req.text
+
+
 def test_serving_engine_ragged_midflight_admission():
     """Admit lane 1 while lane 0 is several tokens deep — the slots sit at
     genuinely different positions in the same dispatch — and both texts
