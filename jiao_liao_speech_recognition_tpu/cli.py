@@ -336,7 +336,9 @@ def cmd_serve(args) -> int:
             return 2
     try:
         eng = ServingEngine(
-            bundle, slots=args.slots, steps_per_dispatch=args.steps_per_dispatch
+            bundle, slots=args.slots,
+            steps_per_dispatch=args.steps_per_dispatch,
+            timestamps=getattr(args, "timestamps", False),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -345,18 +347,18 @@ def cmd_serve(args) -> int:
     paths = {}
 
     def emit(reqs):
+        from .utils.captions import group_words
+
         for r in reqs:
-            print(
-                json.dumps(
-                    {
-                        "audio": paths[r.rid],
-                        "text": r.text,
-                        "latency_s": round(r.finished_at - r.submitted_at, 4),
-                    },
-                    ensure_ascii=False,
-                ),
-                flush=True,
-            )
+            rec = {
+                "audio": paths[r.rid],
+                "text": r.text,
+                "latency_s": round(r.finished_at - r.submitted_at, 4),
+            }
+            if r.timed is not None:
+                rec["tokens"] = r.timed
+                rec["words"] = group_words(r.timed)
+            print(json.dumps(rec, ensure_ascii=False), flush=True)
 
     def feed(path):
         rid = eng.submit(path)
@@ -536,6 +538,11 @@ def main(argv=None) -> int:
     ps.add_argument(
         "--int8", action="store_true",
         help="int8-quantize the decoder weights before serving",
+    )
+    ps.add_argument(
+        "--timestamps", action="store_true",
+        help="include per-token and word spans in each result "
+        "(harvest-time cross-attention alignment)",
     )
     ps.set_defaults(fn=cmd_serve)
 

@@ -226,6 +226,16 @@ def test_cli_serve(cli_env, capsys, tmp_path, monkeypatch):
         assert r["text"] == ref[r["audio"]]
         assert r["latency_s"] >= 0.0
 
+    # --timestamps: results carry token + word spans matching the text
+    rc = cli.main([
+        "serve", wavs[0], "--checkpoint", str(ckpt),
+        "--slots", "2", "--steps-per-dispatch", "4", "--timestamps",
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert "".join(t["token"] for t in rec["tokens"]) == rec["text"]
+    assert "".join(w["word"] for w in rec["words"]) == rec["text"]
+
     # CTC family -> clean CLI error
     rc = cli.main([
         "serve", wavs[0], "--checkpoint", str(tmp / "ckpt" / "final"),
