@@ -240,15 +240,91 @@ def run_tpu(enc_batch: int = 16, dec_batch: int = 8, max_len: int = 64) -> None:
     }), flush=True)
 
 
+def run_timed(batch: int = 4, max_len: int = 32) -> None:
+    """Word-timestamp alignment at large-v3 scale on the real chip: greedy
+    decode a batch of 30 s windows, then time the cross-attention DTW pass
+    (decode/align.py) with curated alignment_heads — the realistic config:
+    large-v3's generation_config ships (layer, head) pairs, so only those
+    layers' q/k are captured (2-3 x [B, 1500, 1280] f32 fetches instead of
+    32). Proves the capture fits and measures seconds per aligned batch."""
+    import dataclasses
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.decode.align import (
+        whisper_token_spans,
+    )
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        default_prompt,
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+    from jiao_liao_speech_recognition_tpu.utils.config import FrontendConfig
+
+    cfg = _large_v3_config()
+    cfg.frontend = FrontendConfig(num_mels=128)
+    cfg.whisper = dataclasses.replace(
+        cfg.whisper, alignment_heads=((20, 4), (25, 9), (30, 2))
+    )
+    model = WhisperModel(cfg.whisper)
+    t0 = time.time()
+    params = ModelBundle._init_params(cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    print(f"init {time.time()-t0:.0f}s (bf16)", flush=True)
+
+    fe = cfg.frontend
+    secs = 30.0
+    samples = int(secs * fe.sample_rate)
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
+    mel = featurize_batch(wav, fe)
+    prompt = default_prompt(cfg.whisper.vocab_size)
+    t0 = time.time()
+    gen, n = greedy_generate(
+        model, params, mel, max_len=max_len, prompt=prompt
+    )
+    gen, n = np.asarray(gen), np.asarray(n)
+    print(f"greedy decode {time.time()-t0:.0f}s, lens={n.tolist()}", flush=True)
+
+    t0 = time.time()
+    spans = whisper_token_spans(
+        cfg.whisper, params, mel, gen.astype(np.int64), n,
+        tuple(prompt), 50257,
+    )
+    warm = time.time() - t0
+    t0 = time.perf_counter()
+    spans = whisper_token_spans(
+        cfg.whisper, params, mel, gen.astype(np.int64), n,
+        tuple(prompt), 50257,
+    )
+    hot = time.perf_counter() - t0
+    ok = all(len(s) == int(ln) for s, ln in zip(spans, n))
+    print(json.dumps({
+        "mode": "timed", "metric": "align_seconds_per_batch",
+        "batch": batch, "tokens": int(n.sum()),
+        "warm_s": round(warm, 1), "value": round(hot, 2),
+        "per_utt_s": round(hot / batch, 3), "spans_ok": ok,
+    }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["cpu8", "tpu"], required=True)
+    ap.add_argument("--mode", choices=["cpu8", "tpu", "timed"], required=True)
     ap.add_argument("--enc-batch", type=int, default=16)
     ap.add_argument("--dec-batch", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=64)
     args = ap.parse_args()
     if args.mode == "cpu8":
         run_cpu8()
+    elif args.mode == "timed":
+        run_timed(max_len=args.max_len)
     else:
         run_tpu(args.enc_batch, args.dec_batch, args.max_len)
 
