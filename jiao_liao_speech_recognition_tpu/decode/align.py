@@ -68,9 +68,11 @@ def _decoder_cross_qk(wcfg, params, mel, tokens, layers=None):
         blk = dec.get(f"block_{i}", {}).get("cross_attn")
         if blk is None:
             continue  # alignment_heads referencing absent layers: caller errors
+        # DEVICE arrays — kept on device so the probability reduction below
+        # runs on-chip and only the tiny averaged matrix crosses to host
         out[i] = (
-            np.asarray(blk["q_proj"]["__call__"][0], np.float32),
-            np.asarray(blk["k_proj"]["__call__"][0], np.float32),
+            blk["q_proj"]["__call__"][0],
+            blk["k_proj"]["__call__"][0],
         )
     return out
 
@@ -87,30 +89,58 @@ def cross_attention_matrix(wcfg, params, mel, tokens) -> np.ndarray:
     captured = _decoder_cross_qk(
         wcfg, params, mel, tokens, layers=set(by_layer) if by_layer else None
     )
-    H = wcfg.num_heads
-    acc: Optional[np.ndarray] = None
-    n = 0
-    for i, (q, k) in sorted(captured.items()):
-        heads = by_layer.get(i) if by_layer else None
-        B, S, d = q.shape
-        T = k.shape[1]
-        dh = d // H
-        qh = q.reshape(B, S, H, dh)
-        kh = k.reshape(B, T, H, dh)
-        s = np.einsum("bshd,bthd->bhst", qh, kh) / np.sqrt(dh)
-        s -= s.max(axis=-1, keepdims=True)
-        p = np.exp(s)
-        p /= p.sum(axis=-1, keepdims=True)
-        if heads:
-            p = p[:, heads]
-        m = p.sum(axis=1)  # -> [B, S, T]
-        n += p.shape[1]
-        acc = m if acc is None else acc + m
-    assert acc is not None and n, (
+    assert captured, (
         "no cross-attention captured: empty decoder or alignment_heads "
         "referencing layers outside the model"
     )
-    return acc / n
+    heads_key = tuple(sorted((l, tuple(sorted(h))) for l, h in by_layer.items()))
+    reduce_fn = _reduce_fn_for(wcfg.num_heads, heads_key)
+    return np.asarray(
+        reduce_fn({str(i): v for i, v in captured.items()}), np.float32
+    )
+
+
+_REDUCE_CACHE: dict = {}
+
+
+def _reduce_fn_for(num_heads: int, heads_key):
+    """Memoized jitted reduction: per-layer probs, selected-head sum, layer
+    average — ON DEVICE, so only the [B, S, T] matrix leaves the chip (the
+    raw q/k at large-v3 scale are ~30 MB/layer f32; through a remote relay
+    that fetch would dominate the whole alignment pass). Cached per
+    (num_heads, alignment-head selection) so repeated calls — the serving
+    engine aligns every harvested request — reuse one compiled program per
+    shape bucket."""
+    import jax
+
+    key = (num_heads, heads_key)
+    if key not in _REDUCE_CACHE:
+        by_layer = {l: list(hs) for l, hs in heads_key}
+
+        @jax.jit
+        def _reduce(qk):
+            acc = None
+            n = 0
+            for i, (q, k) in sorted(qk.items()):
+                heads = by_layer.get(int(i)) if by_layer else None
+                B, S, d = q.shape
+                T = k.shape[1]
+                dh = d // num_heads
+                qh = q.reshape(B, S, num_heads, dh).astype(jnp.float32)
+                kh = k.reshape(B, T, num_heads, dh).astype(jnp.float32)
+                s = jnp.einsum(
+                    "bshd,bthd->bhst", qh, kh,
+                    preferred_element_type=jnp.float32,
+                ) / np.sqrt(dh)
+                p = jax.nn.softmax(s, axis=-1)
+                if heads:
+                    p = p[:, jnp.asarray(heads)]
+                acc = p.sum(axis=1) if acc is None else acc + p.sum(axis=1)
+                n += p.shape[1]
+            return acc / n
+
+        _REDUCE_CACHE[key] = _reduce
+    return _REDUCE_CACHE[key]
 
 
 def dtw_spans(attn: np.ndarray) -> List[Tuple[int, int]]:
