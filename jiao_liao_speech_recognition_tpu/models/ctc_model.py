@@ -31,7 +31,12 @@ from .layers import (
 class ConvSubsampler(nn.Module):
     """log2(factor) stride-2 Conv1d + GELU: [B, T, mels] -> [B, T//factor,
     d_model]. factor=4 (the SB-recipe default) gives the conv1/conv2 stack;
-    other powers of two scale the stack."""
+    other powers of two scale the stack.
+
+    Stays nn.Conv on purpose: a shifted-matmul reformulation (pair-reshape
+    views feeding [2*Cin, Cout] MXU matmuls) measured 0.48x on the v5e —
+    XLA's strided-conv lowering already beats the extra pad/slice HBM
+    traffic (examples/profile_conv_subsampler.py, 2026-08-19)."""
 
     d_model: int
     channels: int
