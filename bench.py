@@ -573,6 +573,12 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # best-effort native build (seconds): on a fresh checkout/VM the beam
+    # section needs native/libbeam.so — a silent miss would null beam_rtfx
+    from jiao_liao_speech_recognition_tpu.utils.native_ext import build_native
+
+    build_native()
+
     args = set(sys.argv[1:])
 
     def section(fn, enabled=True, timeout_s=1500):
