@@ -577,7 +577,11 @@ def main() -> None:
     # section needs native/libbeam.so — a silent miss would null beam_rtfx
     from jiao_liao_speech_recognition_tpu.utils.native_ext import build_native
 
-    build_native()
+    if not build_native():
+        sys.stderr.write(
+            "bench: native build failed; the beam section will fall back or "
+            "report null beam_rtfx\n"
+        )
 
     args = set(sys.argv[1:])
 

@@ -1,9 +1,12 @@
 """A/B variants of the fused head+argmax kernel at flagship shapes.
 
 Variants:
-  prod     — shipped fused_head_argmax (fori_loop over 9 V_CHUNK=512 chunks)
-  unroll   — same kernel with the chunk loop unrolled (static trip count;
-             lets Mosaic software-pipeline the chunk dots)
+  prod     — shipped fused_head_argmax. Since round 3 production uses the
+             STATIC UNROLL over the 9 V_CHUNK=512 chunks (the 1.74x winner
+             of this A/B; Mosaic software-pipelines the chunk dots).
+  fori     — local copy of the superseded lax.fori_loop chunk loop, kept
+             here as the regression baseline. Expect prod ≈ 1.5-1.8x
+             faster; prod/fori ≈ 1.0x means the unroll stopped engaging.
 
 Marginal-cost method over chained applications (relay dispatch cancels).
 Flagship: B=128, T'=750, d=512, V=4336.
@@ -61,14 +64,17 @@ def main():
 
     BLOCK_B, BLOCK_T, V_CHUNK = fh.BLOCK_B, fh.BLOCK_T, fh.V_CHUNK
 
-    def _kernel_unrolled(x_ref, w_ref, b_ref, out_ref, *, v_chunks):
+    def _kernel_fori(x_ref, w_ref, b_ref, out_ref, *, v_chunks):
+        # the superseded lax.fori_loop formulation (pre-r3 production):
+        # per-iteration dynamic chunk slicing prevents Mosaic from
+        # software-pipelining the chunk dots
         rows = BLOCK_B * BLOCK_T
         x = x_ref[...].reshape(rows, x_ref.shape[2])
-        m = jnp.full((rows, 1), -jnp.inf, jnp.float32)
-        idx = jnp.zeros((rows, 1), jnp.int32)
-        for c in range(v_chunks):  # static unroll
-            w = w_ref[:, c * V_CHUNK : (c + 1) * V_CHUNK]
-            b = b_ref[0, c * V_CHUNK : (c + 1) * V_CHUNK]
+
+        def body(c, carry):
+            m, idx = carry
+            w = jax.lax.dynamic_slice_in_dim(w_ref[...], c * V_CHUNK, V_CHUNK, 1)
+            b = jax.lax.dynamic_slice_in_dim(b_ref[0], c * V_CHUNK, V_CHUNK, 0)
             logits = (
                 jax.lax.dot_general(
                     x, w, (((1,), (0,)), ((), ())),
@@ -79,12 +85,18 @@ def main():
             local_m = jnp.max(logits, axis=1, keepdims=True)
             local_i = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
             upd = local_m > m
-            m = jnp.where(upd, local_m, m)
-            idx = jnp.where(upd, local_i + c * V_CHUNK, idx)
+            return (
+                jnp.where(upd, local_m, m),
+                jnp.where(upd, local_i + c * V_CHUNK, idx),
+            )
+
+        m = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+        idx = jnp.zeros((rows, 1), jnp.int32)
+        m, idx = jax.lax.fori_loop(0, v_chunks, body, (m, idx))
         out_ref[...] = idx[:, 0].reshape(BLOCK_B, BLOCK_T)
 
     @jax.jit
-    def unrolled_head_argmax(x, kernel, bias):
+    def fori_head_argmax(x, kernel, bias):
         B, T, d = x.shape
         V = kernel.shape[1]
         b_pad = -(-B // BLOCK_B) * BLOCK_B
@@ -99,7 +111,7 @@ def main():
         xp = xp.astype(jnp.bfloat16)
         grid = (b_pad // BLOCK_B, t_pad // BLOCK_T)
         out = pl.pallas_call(
-            functools.partial(_kernel_unrolled, v_chunks=v_pad // V_CHUNK),
+            functools.partial(_kernel_fori, v_chunks=v_pad // V_CHUNK),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((BLOCK_B, BLOCK_T, d), lambda b, i: (b, i, 0)),
@@ -120,8 +132,8 @@ def main():
     bias = jnp.asarray(rng.randn(V).astype(np.float32) * 0.01)
 
     a = np.asarray(fh.fused_head_argmax(x, w, bias))
-    b = np.asarray(unrolled_head_argmax(x, w, bias))
-    print(f"id mismatches prod vs unroll: {(a != b).sum()} / {a.size}")
+    b = np.asarray(fori_head_argmax(x, w, bias))
+    print(f"id mismatches prod vs fori: {(a != b).sum()} / {a.size}")
 
     def mk(fn):
         def make_fn(n):
@@ -138,10 +150,10 @@ def main():
         return make_fn
 
     t_prod = marginal(mk(fh.fused_head_argmax), (x,))
-    t_unroll = marginal(mk(unrolled_head_argmax), (x,))
-    print(f"prod fori_loop kernel : {t_prod*1e3:8.2f} ms/iter")
-    print(f"unrolled kernel       : {t_unroll*1e3:8.2f} ms/iter  "
-          f"({t_prod/t_unroll:.2f}x)")
+    t_fori = marginal(mk(fori_head_argmax), (x,))
+    print(f"prod (static unroll)  : {t_prod*1e3:8.2f} ms/iter")
+    print(f"fori_loop baseline    : {t_fori*1e3:8.2f} ms/iter  "
+          f"(prod is {t_fori/t_prod:.2f}x faster)")
 
 
 if __name__ == "__main__":
