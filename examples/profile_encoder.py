@@ -140,14 +140,18 @@ def main():
     )
     Tp = T // cfg.subsample_factor
     x = jnp.asarray(rng.randn(B, Tp, cfg.d_model), jnp.bfloat16)
-    mask = length_mask(jnp.full((B,), Tp, jnp.int32), Tp)
+    blk_lens = jnp.full((B,), Tp, jnp.int32)
+    mask = length_mask(blk_lens, Tp)
     blk_params = blk.init(jax.random.PRNGKey(0), x, mask)["params"]
 
     def mk_block(n):
         @jax.jit
         def f(x):
             def body(i, x):
-                return blk.apply({"params": blk_params}, x, mask)
+                # threaded lengths engage the fused sublayer kernels
+                return blk.apply(
+                    {"params": blk_params}, x, mask, kv_lengths=blk_lens
+                )
             return jax.lax.fori_loop(0, n, body, x)
         return f
 
@@ -165,7 +169,9 @@ def main():
         @jax.jit
         def f(x):
             def body(i, x):
-                return x * 0.5 + mha.apply({"params": mha_params}, x, mask=mask)
+                return x * 0.5 + mha.apply(
+                    {"params": mha_params}, x, mask=mask, kv_lengths=blk_lens
+                )
             return jax.lax.fori_loop(0, n, body, x)
         return f
 

@@ -108,10 +108,14 @@ class CTCEncoderModel(nn.Module):
         L, R = cfg.attention_left_context, cfg.attention_right_context
         if L >= 0 or R >= 0:
             # streaming-matched band attention ([B,1,T,T] routes every
-            # block to the general attention path)
+            # block to the general attention path; no lengths threaded —
+            # the band carries structure lengths can't express)
             mask = banded_length_mask(out_lengths, t_out, L, R)
+            attn_lens = None
         else:
             mask = length_mask(out_lengths, t_out)  # [B,1,1,T']
+            attn_lens = out_lengths  # threaded alongside: fused paths
+            # consume lengths, never infer them from the mask
         block = TransformerBlock
         if cfg.remat:
             # rematerialize each block on the backward pass (long fine-tune
@@ -130,7 +134,10 @@ class CTCEncoderModel(nn.Module):
                 name=f"block_{i}",
             )
             # positional call keeps nn.remat static_argnums stable
-            x = layer(x, mask, None, None, deterministic, None, None, None, False)
+            x = layer(
+                x, mask, None, None, deterministic, None, None, None, False,
+                None, attn_lens,
+            )
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="final_ln")(x)
         # CTC head: bf16 operands on the MXU with f32 accumulation — the

@@ -119,10 +119,15 @@ class JointCTCAttentionModel(nn.Module):
         if L >= 0 or R >= 0:
             # streaming-matched band attention (see CTCModelConfig)
             mask = banded_length_mask(out_lengths, t_out, L, R)
+            attn_lens = None
         else:
             mask = length_mask(out_lengths, t_out)
+            attn_lens = out_lengths  # threaded: fused paths consume lengths
         for blk in self.enc_blocks:
-            x = blk(x, mask, None, None, deterministic, None, None, None, False)
+            x = blk(
+                x, mask, None, None, deterministic, None, None, None, False,
+                None, attn_lens,
+            )
         return self.enc_ln(x), out_lengths
 
     # ------------------------------------------------------------- CTC branch
@@ -157,7 +162,7 @@ class JointCTCAttentionModel(nn.Module):
         )
         for blk in self.dec_blocks:
             x = blk(x, mask=causal, enc=enc, enc_mask=enc_mask,
-                    deterministic=deterministic)
+                    deterministic=deterministic, enc_kv_lengths=enc_lengths)
         x = self.dec_ln(x)
         # tied output projection (shared input/output embedding)
         return self.embed_tokens.attend(x.astype(jnp.float32))
@@ -270,6 +275,10 @@ class JointCTCAttentionModel(nn.Module):
                 cross_cache=caches[name].get("cross"),
                 cache_index=pos,
                 slot_caches=caches[name].get("slots"),
+                # threaded decode lengths: keys 0..pos are valid (kmask is
+                # kept for the adapter slots' exact path)
+                kv_lengths=pos + 1,
+                enc_kv_lengths=enc_lengths,
             )
             new_caches[name] = {"self": self_c, "cross": cross_c}
             if slot_c is not None:

@@ -54,20 +54,31 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    kv_lengths: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """[B, T, H, Dh] attention. mask: broadcastable to [B, H, Tq, Tk], True =
     attend. Softmax in f32 for stability regardless of compute dtype.
+    kv_lengths: explicit [B] valid-key counts — the authoritative channel
+    for key padding (callers that built `mask` from lengths should thread
+    the lengths too; the flash kernel consumes lengths, not masks).
 
     The flash kernel only pays off for long query blocks: KV-cached decode
     steps (Tq=1) would be padded to a full BLOCK_Q of wasted MXU rows, so
     short queries take the XLA einsum path."""
+    if kv_lengths is not None and mask is not None and mask.shape[-2] != 1:
+        # a multi-row mask (band/causal) carries structure lengths can't
+        # express; passing both would let flash drop the mask — refuse the
+        # lengths and take the exact masked path below
+        kv_lengths = None
     if use_flash and q.shape[1] >= 64 and jax.default_backend() == "tpu":
         from ..ops.flash_attention import flash_attention
 
         try:
-            return flash_attention(q, k, v, mask)
+            return flash_attention(q, k, v, mask, kv_lengths=kv_lengths)
         except NotImplementedError:
             pass
+    if mask is None and kv_lengths is not None:
+        mask = length_mask(jnp.asarray(kv_lengths, jnp.int32), k.shape[1])
     dtype = q.dtype
     scale = 1.0 / np.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -113,7 +124,7 @@ def update_cache_rows(
     raise ValueError(f"unsupported cache time_axis {time_axis}")
 
 
-def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
+def _int8_cross_attention(qh, kq, ks, vq, vs, kv_lens, mask, dtype, t_enc=None):
     """Decode-step attention over int8 cross caches (ops/quant.quantize_kv).
 
     qh [B, H, Tq, dh]; kq/vq int8 [B, H, Tk, dh]; ks/vs f32 [B, H, Tk]
@@ -122,9 +133,11 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
     Scales commute with both contractions:
     logits[t] = (q . K[t]) * ks[t]; out = (p * vs) @ V.
 
-    Mask contract: `mask` is a [B, 1, 1, Tm] PREFIX (length) mask over the
-    unpadded encoder positions, or None meaning all `t_enc` positions are
-    valid — either way attention is over keys [0, len) per batch row.
+    Validity contract: `kv_lens` [B] int32 valid-key counts (the caller's
+    THREADED lengths — never inferred from a mask), or None with `mask` a
+    key-validity mask broadcastable to [B, H, Tq, Tk] — then the exact
+    mul-reduce path applies the mask directly (the streaming kernel only
+    expresses contiguous lengths). Both None = all `t_enc` keys valid.
 
     On TPU this runs the Pallas decode-attention kernel
     (ops/quant.int8_decode_attention): the int8 tiles convert to bf16 in
@@ -137,29 +150,18 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
     Tk = kq.shape[2]
     if t_enc is None:
         t_enc = Tk
-    if mask is not None and mask.shape[-2] != 1:
-        # both branches below collapse the mask to one key count per batch
-        # row — a multi-query-row (causal chunk) mask would silently apply
-        # row 0's horizon to every row
-        raise ValueError(
-            "int8 decode attention requires a single-query-row prefix mask"
-        )
-    if mask is None:
+    if kv_lens is None and mask is None:
         kv_lens = jnp.full((B,), min(t_enc, Tk), jnp.int32)
-    else:
-        # mask rows may broadcast over batch (decode_step's self mask is
-        # [1, 1, 1, T]); the kernel needs one length per batch row
-        kv_lens = jnp.broadcast_to(
-            jnp.sum(mask[:, 0, 0, :].astype(jnp.int32), axis=-1), (B,)
-        )
-    if _on_tpu() and Tq <= 8:  # patchable gate: tests force this dispatch
-        from ..ops.decode_attention import decode_attention_fits, round_tk
-        from ..ops.quant import int8_decode_attention
+    if kv_lens is not None:
+        kv_lens = jnp.broadcast_to(jnp.asarray(kv_lens, jnp.int32), (B,))
+        if _on_tpu() and Tq <= 8:  # patchable gate: tests force this dispatch
+            from ..ops.decode_attention import decode_attention_fits, round_tk
+            from ..ops.quant import int8_decode_attention
 
-        if decode_attention_fits(round_tk(Tk), dh, quantized=True):
-            return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(
-                dtype
-            )
+            if decode_attention_fits(round_tk(Tk), dh, quantized=True):
+                return int8_decode_attention(qh, kq, ks, vq, vs, kv_lens).astype(
+                    dtype
+                )
     scale = 1.0 / np.sqrt(dh)
     s = (
         jnp.sum(
@@ -170,9 +172,13 @@ def _int8_cross_attention(qh, kq, ks, vq, vs, mask, dtype, t_enc=None):
         * ks[:, :, None, :]
         * scale
     )  # [B, H, Tq, Tk] f32
-    pmask = (
-        jnp.arange(Tk)[None, None, None, :] < kv_lens[:, None, None, None]
-    )
+    if kv_lens is not None:
+        pmask = (
+            jnp.arange(Tk)[None, None, None, :] < kv_lens[:, None, None, None]
+        )
+    else:
+        # general key-validity mask, False-padded out to the cache horizon
+        pmask = jnp.pad(mask, ((0, 0),) * 3 + ((0, Tk - mask.shape[-1]),))
     s = jnp.where(pmask, s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     pv = p * vs[:, :, None, :]
@@ -206,7 +212,15 @@ class MultiHeadAttention(nn.Module):
         kv_cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
         return_kv: bool = False,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ):
+        """kv_lengths: explicit [B] (or scalar) count of valid keys — the
+        authoritative channel for key padding on the decode fast paths.
+        Callers that know the lengths (decode_step knows pos+1; encoders
+        know feature lengths) MUST thread them to get the streaming
+        kernels; a bare `mask` without lengths routes to the exact masked
+        einsum path — lengths are never inferred by summing a mask, so a
+        non-prefix mask can't be silently misread (r2 advisor hazard)."""
         dh = self.d_model // self.num_heads
         kv_in = x if kv is None else kv
         wf = self.adapter if (self.adapter and self.adapter.kind == "wf") else None
@@ -226,11 +240,12 @@ class MultiHeadAttention(nn.Module):
                     # int8 cross cache (quantized serving bundle). The cache
                     # is 128-padded past the real encoder length; `kv` is the
                     # unpadded encoder output, so its static T is the valid
-                    # horizon when the caller passes no length mask. Falls
+                    # horizon when the caller threads no lengths. Falls
                     # through to the shared out-proj tail below.
                     o = _int8_cross_attention(
                         qh, kv_cache["k"], kv_cache["k_scale"],
-                        kv_cache["v"], kv_cache["v_scale"], mask, self.dtype,
+                        kv_cache["v"], kv_cache["v_scale"],
+                        kv_lengths, mask, self.dtype,
                         t_enc=kv.shape[1],
                     ).astype(self.dtype)
                 k4, v4 = kv_cache["k"], kv_cache["v"]
@@ -263,7 +278,8 @@ class MultiHeadAttention(nn.Module):
                     }
                     o = _int8_cross_attention(
                         qh, new_cache["k"], new_cache["k_scale"],
-                        new_cache["v"], new_cache["v_scale"], mask, self.dtype,
+                        new_cache["v"], new_cache["v_scale"],
+                        kv_lengths, mask, self.dtype,
                     ).astype(self.dtype)
                     k4 = v4 = None
                 else:
@@ -271,14 +287,15 @@ class MultiHeadAttention(nn.Module):
                     v4 = update_cache_rows(kv_cache["v"], vh, cache_index, 2)
                     new_cache = {"k": k4, "v": v4}
             if o is None:
-                # Prefix-mask contract: decode callers pass SINGLE-QUERY-ROW
-                # masks (decode_step's self mask is arange(t_cache) <= pos,
-                # its cross mask is a length mask), so validity reduces to
-                # one key count per batch row and the streaming kernel
-                # applies. A multi-row mask (e.g. a causal chunk) keeps the
-                # general einsum+where path. The mask's Tm may be shorter
-                # than the cache's Tk (caches are 128-padded at build
-                # time); positions past Tm are invalid.
+                # Validity contract: decode callers THREAD kv_lengths
+                # explicitly (decode_step knows pos+1; cross callers know
+                # enc_lengths) — that is what engages the streaming kernel.
+                # A bare mask (single-row or not) takes the exact masked
+                # einsum path: lengths are never inferred by summing an
+                # assumed-prefix mask, so a future non-prefix key mask
+                # cannot silently attend to the wrong positions. The mask's
+                # Tm may be shorter than the cache's Tk (caches are
+                # 128-padded at build time); positions past Tm are invalid.
                 from ..ops.decode_attention import (
                     KERNEL_TK,
                     decode_attention_fits,
@@ -286,18 +303,20 @@ class MultiHeadAttention(nn.Module):
                 )
 
                 Tk = k4.shape[2]
-                prefix_mask = mask is None or mask.shape[-2] == 1
-                if mask is not None and prefix_mask:
+                if kv_lengths is not None:
                     kv_lens = jnp.broadcast_to(
-                        jnp.sum(mask[..., 0, 0, :].astype(jnp.int32), axis=-1),
-                        (B,),
+                        jnp.asarray(kv_lengths, jnp.int32), (B,)
                     )
-                elif kv is not None:
-                    kv_lens = jnp.full((B,), min(kv.shape[1], Tk), jnp.int32)
+                elif mask is None:
+                    kv_lens = jnp.full(
+                        (B,),
+                        min(kv.shape[1], Tk) if kv is not None else Tk,
+                        jnp.int32,
+                    )
                 else:
-                    kv_lens = jnp.full((B,), Tk, jnp.int32)
+                    kv_lens = None  # mask-only: exact masked path below
                 if (
-                    prefix_mask
+                    kv_lens is not None
                     and _on_tpu()
                     and Tq <= 8
                     and Tk % KERNEL_TK == 0
@@ -317,7 +336,7 @@ class MultiHeadAttention(nn.Module):
                     s = jnp.einsum(
                         "bhqd,bhkd->bhqk", qh, k4, preferred_element_type=jnp.float32
                     ) * scale
-                    if prefix_mask:
+                    if kv_lens is not None:
                         kmask = (
                             jnp.arange(Tk)[None, None, None, :]
                             < kv_lens[:, None, None, None]
@@ -363,6 +382,10 @@ class MultiHeadAttention(nn.Module):
         B, Tq = q.shape[0], q.shape[1]
         Tk = k.shape[1]
         out = None
+        if kv_lengths is not None and mask is not None and mask.shape[-2] != 1:
+            # multi-row masks (band/causal) carry structure lengths can't
+            # express; drop the lengths so the kernels can't shadow the mask
+            kv_lengths = None
         if (
             self.use_flash
             and dh % 128 == 0
@@ -375,14 +398,18 @@ class MultiHeadAttention(nn.Module):
             from ..ops.flash_attention import flash_attention_packed
 
             try:
-                out = flash_attention_packed(q, k, v, self.num_heads, mask)
+                out = flash_attention_packed(
+                    q, k, v, self.num_heads, mask, kv_lengths=kv_lengths
+                )
             except NotImplementedError:
                 out = None
         if out is None:
             qh = q.reshape(B, Tq, self.num_heads, dh)
             kh = k.reshape(B, Tk, self.num_heads, dh)
             vh = v.reshape(B, Tk, self.num_heads, dh)
-            out = dot_product_attention(qh, kh, vh, mask, use_flash=self.use_flash)
+            out = dot_product_attention(
+                qh, kh, vh, mask, use_flash=self.use_flash, kv_lengths=kv_lengths
+            )
             out = out.reshape(B, Tq, self.d_model)
         out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)
         if self.dropout > 0:
@@ -440,7 +467,14 @@ class TransformerBlock(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         precompute_cross: bool = False,
         slot_caches: Optional[dict] = None,
+        kv_lengths: Optional[jnp.ndarray] = None,
+        enc_kv_lengths: Optional[jnp.ndarray] = None,
     ):
+        """kv_lengths / enc_kv_lengths: explicit valid-key counts for the
+        self / cross attention (see MultiHeadAttention.kv_lengths). Callers
+        that built `mask` / `enc_mask` from lengths should thread the
+        lengths as well — the fused/streaming fast paths consume lengths
+        and never infer them from a mask."""
         if precompute_cross:
             # K/V of the cross-attention for a given encoder output — used
             # once per utterance to build the decode cache
@@ -476,6 +510,11 @@ class TransformerBlock(nn.Module):
                 mask is None
                 or (mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1)
             )
+            # the fused kernels consume per-example LENGTHS: a caller that
+            # passes a key mask must thread kv_lengths alongside it (all
+            # in-repo encoders do) or it keeps the exact module path —
+            # lengths are never inferred by summing an assumed-prefix mask
+            and (mask is None or kv_lengths is not None)
             and _on_tpu()
             # int8-quantized serving trees (ModelBundle.quantize) replace
             # "dense" with "dense_q"; the fused kernels read raw bf16 kernels
@@ -500,16 +539,10 @@ class TransformerBlock(nn.Module):
             if mask is None:
                 kv_lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             else:
-                # ASSUMPTION: a [B,1,1,T] key mask is a contiguous PREFIX
-                # (length) mask — the only kind this repo's encoders produce
-                # (length_mask in models/*). The fused kernels take
-                # per-example kv_lengths, so a non-prefix key-validity mask
-                # of the same shape would be silently misread as "attend to
-                # the first sum(mask) keys". Callers adding a new mask source
-                # must either guarantee prefix form or skip the fast path
-                # (use_flash_attention=False).
-                m = jnp.broadcast_to(mask, (x.shape[0], 1, 1, x.shape[1]))
-                kv_lens = jnp.sum(m[:, 0, 0, :].astype(jnp.int32), axis=-1)
+                # caller-threaded lengths (gate above guarantees presence)
+                kv_lens = jnp.broadcast_to(
+                    jnp.asarray(kv_lengths, jnp.int32), (x.shape[0],)
+                )
             if (
                 dh % 128 == 0
                 and attn_sublayer_fits_vmem(self.d_model, self.d_model, x.shape[1])
@@ -568,7 +601,8 @@ class TransformerBlock(nn.Module):
                 self.adapter,
                 self.use_flash,
                 name="self_attn",
-            )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache, cache_index=cache_index)
+            )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache,
+              cache_index=cache_index, kv_lengths=kv_lengths)
             if self_cache is not None:
                 attn_out, self_cache = attn_out
             x = x + attn_out
@@ -595,7 +629,8 @@ class TransformerBlock(nn.Module):
                 self.adapter,
                 self.use_flash,
                 name="cross_attn",
-            )(h, kv=enc, mask=enc_mask, deterministic=deterministic, kv_cache=cross_cache)
+            )(h, kv=enc, mask=enc_mask, deterministic=deterministic,
+              kv_cache=cross_cache, kv_lengths=enc_kv_lengths)
             if cross_cache is not None:
                 cross_out, cross_cache = cross_out
             x = x + cross_out

@@ -157,7 +157,8 @@ class WhisperDecoder(nn.Module):
             length_mask(enc_lengths, enc.shape[1]) if enc_lengths is not None else None
         )
         for blk in self.blocks:
-            x = blk(x, mask=causal, enc=enc, enc_mask=enc_mask, deterministic=deterministic)
+            x = blk(x, mask=causal, enc=enc, enc_mask=enc_mask,
+                    deterministic=deterministic, enc_kv_lengths=enc_lengths)
         x = self.ln(x)
         # tied output projection (Whisper convention)
         logits = self.embed_tokens.attend(x.astype(jnp.float32))
@@ -372,6 +373,11 @@ class WhisperDecoder(nn.Module):
                 cross_cache=caches[name].get("cross"),
                 cache_index=pos,
                 slot_caches=caches[name].get("slots"),
+                # threaded decode lengths: keys 0..pos are valid (scalar pos
+                # broadcasts; per-slot [B] pos gives per-row horizons). kmask
+                # is kept for the adapter slots' exact path.
+                kv_lengths=pos + 1,
+                enc_kv_lengths=enc_lengths,
             )
             new_caches[name] = {"self": self_c, "cross": cross_c}
             if slot_c is not None:

@@ -89,7 +89,8 @@ def test_head_major_decode_dispatch_matches_einsum(monkeypatch):
     pos = 57
     mask = jnp.arange(Tk)[None, None, None, :] <= pos
     params = mha.init(
-        jax.random.PRNGKey(0), x, kv_cache=cache, cache_index=pos, mask=mask
+        jax.random.PRNGKey(0), x, kv_cache=cache, cache_index=pos, mask=mask,
+        kv_lengths=jnp.int32(pos + 1),
     )
 
     kernel_calls = []
@@ -103,16 +104,83 @@ def test_head_major_decode_dispatch_matches_einsum(monkeypatch):
 
     monkeypatch.setattr(DA, "grouped_decode_attention", spy)
 
-    def run(on_tpu):
+    def run(on_tpu, **kw):
         monkeypatch.setattr(L, "_on_tpu", lambda: on_tpu)
         out, _ = mha.apply(
-            params, x, kv_cache=cache, cache_index=jnp.int32(pos), mask=mask
+            params, x, kv_cache=cache, cache_index=jnp.int32(pos), **kw
         )
         return np.asarray(out, np.float32)
 
-    got = run(True)
-    assert kernel_calls, "kernel branch did not engage for bf16 caches"
-    np.testing.assert_allclose(got, run(False), atol=3e-2, rtol=3e-2)
+    got = run(True, mask=mask, kv_lengths=jnp.int32(pos + 1))
+    assert kernel_calls, "kernel branch did not engage for threaded lengths"
+    np.testing.assert_allclose(
+        got, run(False, mask=mask, kv_lengths=jnp.int32(pos + 1)),
+        atol=3e-2, rtol=3e-2,
+    )
+
+    # a bare mask (no threaded lengths) must take the exact masked einsum —
+    # NOT the streaming kernel: lengths are never inferred from a mask
+    kernel_calls.clear()
+    got_mask_only = run(True, mask=mask)
+    assert not kernel_calls, "mask-only call must not reach the kernel"
+    np.testing.assert_allclose(got_mask_only, got, atol=3e-2, rtol=3e-2)
+
+
+def test_non_prefix_key_mask_is_exact(monkeypatch):
+    """The r2-advisor hazard, closed structurally: a NON-prefix [B,1,1,Tk]
+    key mask (holes in the middle) must be applied exactly — previously the
+    fast path would have misread it as 'attend to the first sum(mask)
+    keys'. Now mask-only calls route to the masked einsum and match a
+    hand-rolled reference."""
+    from jiao_liao_speech_recognition_tpu.models import layers as L
+
+    rng = np.random.RandomState(23)
+    B, H, dh, Tk = 2, 2, 16, 128
+    d = H * dh
+    mha = L.MultiHeadAttention(num_heads=H, d_model=d, dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(B, 1, d).astype(np.float32))
+    cache = {
+        "k": jnp.asarray(rng.randn(B, H, Tk, dh).astype(np.float32)),
+        "v": jnp.asarray(rng.randn(B, H, Tk, dh).astype(np.float32)),
+    }
+    holes = np.ones((B, 1, 1, Tk), bool)
+    holes[:, :, :, 10:40] = False  # non-contiguous validity
+    holes[:, :, :, 100:] = False
+    mask = jnp.asarray(holes)
+    params = mha.init(
+        jax.random.PRNGKey(0), x, kv_cache=cache, cache_index=5, mask=mask
+    )
+    monkeypatch.setattr(L, "_on_tpu", lambda: True)  # fast paths armed
+    with jax.default_matmul_precision("highest"):  # f32-exact vs numpy
+        out, _ = mha.apply(
+            params, x, kv_cache=cache, cache_index=jnp.int32(5), mask=mask
+        )
+
+    # reference: q/k/v/out projections from the params, the step's own K/V
+    # rows written at cache_index, then exact masked softmax
+    p = params["params"]
+    q = np.asarray(x) @ np.asarray(p["q_proj"]["dense"]["kernel"]) + np.asarray(
+        p["q_proj"]["dense"]["bias"]
+    )
+    qh = q.reshape(B, 1, H, dh).transpose(0, 2, 1, 3)
+    k2 = np.asarray(cache["k"]).copy()
+    v2 = np.asarray(cache["v"]).copy()
+    kn = np.asarray(x) @ np.asarray(p["k_proj"]["dense"]["kernel"])
+    vn = np.asarray(x) @ np.asarray(p["v_proj"]["dense"]["kernel"]) + np.asarray(
+        p["v_proj"]["dense"]["bias"]
+    )
+    k2[:, :, 5, :] = kn.reshape(B, H, dh)
+    v2[:, :, 5, :] = vn.reshape(B, H, dh)
+    s = np.einsum("bhqd,bhkd->bhqk", qh, k2) / np.sqrt(dh)
+    s = np.where(holes, s, np.finfo(np.float32).min)
+    pr = np.exp(s - s.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    o = np.einsum("bhqk,bhkd->bhqd", pr, v2)
+    o = o.transpose(0, 2, 1, 3).reshape(B, 1, d)
+    want = o @ np.asarray(p["out_proj"]["dense"]["kernel"]) + np.asarray(
+        p["out_proj"]["dense"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5, rtol=2e-5)
 
 
 def test_f32_caches_keep_the_einsum_path(monkeypatch):
@@ -163,9 +231,11 @@ def test_oversized_horizon_rejected_and_gated():
         grouped_decode_attention(q, k, k, jnp.asarray([7], jnp.int32))
 
 
-def test_int8_cross_attention_rejects_multi_row_masks():
-    """Both int8 branches collapse the mask to one key count per batch row;
-    a multi-query-row mask must be rejected loudly, not silently wrong."""
+def test_int8_cross_attention_multi_row_mask_is_exact():
+    """A multi-query-row (e.g. causal-chunk) mask routes to the exact
+    mul-reduce path and is applied row-by-row — previously such masks were
+    rejected; now they are handled exactly (never collapsed to one key
+    count per batch row)."""
     from jiao_liao_speech_recognition_tpu.models.layers import (
         _int8_cross_attention,
     )
@@ -177,5 +247,13 @@ def test_int8_cross_attention_rejects_multi_row_masks():
     kq, ks = quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
     vq, vs = quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
     causal = jnp.tril(jnp.ones((Tq, Tk), bool))[None, None]
-    with pytest.raises(ValueError, match="single-query-row"):
-        _int8_cross_attention(q, kq, ks, vq, vs, causal, jnp.float32)
+    got = _int8_cross_attention(q, kq, ks, vq, vs, None, causal, jnp.float32)
+
+    kd = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), kd) / np.sqrt(dh)
+    s = np.where(np.asarray(causal), s, np.finfo(np.float32).min)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, vd)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)

@@ -143,14 +143,15 @@ def test_transformer_block_uses_sublayer_kernel_when_forced(monkeypatch):
     B, T, d, H, mlp_dim = 2, 80, 256, 2, 512
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(B, T, d).astype(np.float32), jnp.bfloat16)
-    mask = L.length_mask(jnp.asarray([T, 60], jnp.int32), T)
+    lens = jnp.asarray([T, 60], jnp.int32)
+    mask = L.length_mask(lens, T)
     blk = L.TransformerBlock(d, H, mlp_dim, jnp.bfloat16, 0.0, None, use_flash=True)
     params = blk.init(jax.random.PRNGKey(0), x, mask=mask)["params"]
-    want = blk.apply({"params": params}, x, mask=mask)
+    want = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
 
     monkeypatch.setattr(L, "_on_tpu", lambda: True)
     monkeypatch.setattr(fa, "fused_attention_sublayer", spy)
-    got = blk.apply({"params": params}, x, mask=mask)
+    got = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
     assert calls["n"] == 1
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),

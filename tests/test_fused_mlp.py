@@ -259,10 +259,10 @@ def test_transformer_block_fused_sublayers_parity_when_forced(monkeypatch):
 
     blk = L.TransformerBlock(d, H, mlp_dim, jnp.bfloat16, 0.0, None, use_flash=True)
     params = blk.init(jax.random.PRNGKey(0), x, mask=mask)["params"]
-    want = blk.apply({"params": params}, x, mask=mask)
+    want = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
 
     monkeypatch.setattr(L, "_on_tpu", lambda: True)
-    got = blk.apply({"params": params}, x, mask=mask)
+    got = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,
@@ -282,10 +282,10 @@ def test_transformer_block_fused_sublayers_parity_dh64(monkeypatch):
 
     blk = L.TransformerBlock(d, H, mlp_dim, jnp.bfloat16, 0.0, None, use_flash=True)
     params = blk.init(jax.random.PRNGKey(0), x, mask=mask)["params"]
-    want = blk.apply({"params": params}, x, mask=mask)
+    want = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
 
     monkeypatch.setattr(L, "_on_tpu", lambda: True)
-    got = blk.apply({"params": params}, x, mask=mask)
+    got = blk.apply({"params": params}, x, mask=mask, kv_lengths=lens)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,

@@ -70,7 +70,15 @@ def test_int8_cross_attention_matches_dequantized_reference():
     lens = np.array([Tk, 11])
     mask = jnp.asarray(np.arange(Tk)[None, None, None, :] < lens[:, None, None, None])
 
-    got = _int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+    got = _int8_cross_attention(
+        q, kq, ks, vq, vs, jnp.asarray(lens, jnp.int32), None, jnp.float32
+    )
+    # mask-only call (no threaded lengths) must take the exact masked path
+    # and agree with the threaded-lengths result
+    got_mask = _int8_cross_attention(q, kq, ks, vq, vs, None, mask, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got_mask), np.asarray(got), atol=1e-6, rtol=1e-6
+    )
 
     kd = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
     vd = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
@@ -97,15 +105,12 @@ def test_int8_decode_attention_kernel_matches_reference(monkeypatch):
     kq, ks = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
     vq, vs = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
     lens = jnp.asarray([Tk, 97], jnp.int32)
-    mask = jnp.asarray(
-        np.arange(Tk)[None, None, None, :] < np.asarray(lens)[:, None, None, None]
-    )
     # dispatch branch (layers -> kernel), forced on regardless of backend
     monkeypatch.setattr(L, "_on_tpu", lambda: True)
-    got = L._int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+    got = L._int8_cross_attention(q, kq, ks, vq, vs, lens, None, jnp.float32)
     # reference branch, forced off
     monkeypatch.setattr(L, "_on_tpu", lambda: False)
-    want = L._int8_cross_attention(q, kq, ks, vq, vs, mask, jnp.float32)
+    want = L._int8_cross_attention(q, kq, ks, vq, vs, lens, None, jnp.float32)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
     )
@@ -135,11 +140,11 @@ def test_int8_cross_attention_padded_cache_matches_unpadded():
     q = jnp.asarray(rng.randn(B, H, Tq, dh).astype(np.float32))
     kq, ks = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
     vq, vs = Q.quantize_kv(rng.randn(B, H, Tk, dh).astype(np.float32))
-    want = L._int8_cross_attention(q, kq, ks, vq, vs, None, jnp.float32)
+    want = L._int8_cross_attention(q, kq, ks, vq, vs, None, None, jnp.float32)
     pad3, pad4 = ((0, 0), (0, 0), (0, 128 - Tk)), ((0, 0), (0, 0), (0, 128 - Tk), (0, 0))
     got = L._int8_cross_attention(
         q, jnp.pad(kq, pad4), jnp.pad(ks, pad3), jnp.pad(vq, pad4),
-        jnp.pad(vs, pad3), None, jnp.float32, t_enc=Tk,
+        jnp.pad(vs, pad3), None, None, jnp.float32, t_enc=Tk,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
