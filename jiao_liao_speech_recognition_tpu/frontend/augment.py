@@ -12,6 +12,16 @@ so they run fused on device inside the training input pipeline:
   static rates keep shapes compile-time constant, matching SB's 0.9/1.0/1.1)
 * pitch shift = speed perturbation + length-preserving time stretch via
   phase-free granular overlap-add (cheap, augmentation-grade)
+* low/high/band-pass filter augmentation (julius req:30 and
+  audiomentations' filter transforms req:7): windowed-sinc FIR whose
+  cutoff is a TRACED per-example random draw — the kernel taps are jnp
+  functions of the cutoff, so one compiled program covers the whole cutoff
+  range — applied as a single depthwise conv (batch rows = channel groups),
+  which XLA maps straight onto the MXU. (julius' own low-pass is the same
+  windowed-sinc FIR; an IIR biquad would serialize over 480k samples in a
+  lax.scan — hostile to the TPU vector units.)
+* standalone time stretch (audiomentations TimeStretch): static discrete
+  rates, pitch preserved via the same granular OLA used by pitch_shift
 """
 
 from __future__ import annotations
@@ -133,11 +143,111 @@ def pitch_shift(key, wav: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     return jax.lax.switch(idx, branches, wav)
 
 
-def augment_waveform(key: jax.Array, wav: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# Filter augmentation (SURVEY C4: julius req:30, audiomentations req:7)
+# ---------------------------------------------------------------------------
+
+
+def lowpass_fir_taps(fc: jnp.ndarray, taps: int) -> jnp.ndarray:
+    """Hann-windowed-sinc low-pass FIR taps for a TRACED normalized cutoff
+    fc in (0, 0.5) cycles/sample, shape [..., taps]; unity DC gain. fc may
+    carry a batch dimension ([B, 1] -> [B, taps])."""
+    n = jnp.arange(taps, dtype=jnp.float32) - (taps - 1) / 2.0
+    h = 2.0 * fc * jnp.sinc(2.0 * fc * n)
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(taps) / (taps - 1))
+    h = h * w
+    return h / jnp.sum(h, axis=-1, keepdims=True)
+
+
+def highpass_fir_taps(fc: jnp.ndarray, taps: int) -> jnp.ndarray:
+    """Spectral inversion of the low-pass: delta - lowpass (taps odd)."""
+    h = -lowpass_fir_taps(fc, taps)
+    center = jnp.zeros((taps,), jnp.float32).at[(taps - 1) // 2].set(1.0)
+    return h + center
+
+
+def bandpass_fir_taps(f_lo: jnp.ndarray, f_hi: jnp.ndarray, taps: int) -> jnp.ndarray:
+    """Difference of sincs: lowpass(f_hi) - lowpass(f_lo) passes
+    (f_lo, f_hi)."""
+    return lowpass_fir_taps(f_hi, taps) - lowpass_fir_taps(f_lo, taps)
+
+
+def depthwise_filter(wav: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-example FIR: wav [B, L], kernels [B, K] -> [B, L]
+    ('same' alignment). One grouped conv (batch rows as channel groups);
+    kernels are symmetric-by-construction so XLA's cross-correlation is
+    the convolution."""
+    B, L = wav.shape
+    K = kernels.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        wav[None].astype(jnp.float32),
+        kernels[:, None, :].astype(jnp.float32),
+        window_strides=(1,),
+        padding=[(K // 2, K - 1 - K // 2)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=B,
+    )
+    return y[0].astype(wav.dtype)
+
+
+def random_lowpass(key, wav, hz_range: Tuple[float, float], sr: int, taps: int):
+    fc = jax.random.uniform(
+        key, (wav.shape[0], 1), minval=hz_range[0] / sr, maxval=hz_range[1] / sr
+    )
+    return depthwise_filter(wav, lowpass_fir_taps(fc, taps))
+
+
+def random_highpass(key, wav, hz_range: Tuple[float, float], sr: int, taps: int):
+    fc = jax.random.uniform(
+        key, (wav.shape[0], 1), minval=hz_range[0] / sr, maxval=hz_range[1] / sr
+    )
+    return depthwise_filter(wav, highpass_fir_taps(fc, taps))
+
+
+def random_bandpass(
+    key, wav, lo_range: Tuple[float, float], hi_range: Tuple[float, float],
+    sr: int, taps: int,
+):
+    klo, khi = jax.random.split(key)
+    f_lo = jax.random.uniform(
+        klo, (wav.shape[0], 1), minval=lo_range[0] / sr, maxval=lo_range[1] / sr
+    )
+    f_hi = jax.random.uniform(
+        khi, (wav.shape[0], 1), minval=hi_range[0] / sr, maxval=hi_range[1] / sr
+    )
+    return depthwise_filter(wav, bandpass_fir_taps(f_lo, f_hi, taps))
+
+
+def time_stretch(key, wav: jnp.ndarray, rates: Tuple[float, ...]) -> jnp.ndarray:
+    """Standalone time stretch (audiomentations TimeStretch, SURVEY C4):
+    pick one of the static rates per batch; granular-OLA stretch the content
+    to length n/rate (pitch preserved — unlike speed_perturb) and pad/trim
+    back to the static length."""
+    n = wav.shape[1]
+    branches = []
+    for r in rates:
+
+        def _b(w, r=float(r)):
+            if abs(r - 1.0) < 1e-9:
+                return w
+            m = max(int(round(n / r)), 2)
+            return _fix_len(_ola_stretch_to(w, m), n)
+
+        branches.append(_b)
+    idx = jax.random.randint(key, (), 0, len(branches))
+    return jax.lax.switch(idx, branches, wav)
+
+
+def augment_waveform(
+    key: jax.Array,
+    wav: jnp.ndarray,
+    cfg: AugmentConfig,
+    sample_rate: int = 16000,
+) -> jnp.ndarray:
     """Apply the augmentation chain to [B, L] PCM. jit-safe; shape preserved."""
     if not cfg.enabled:
         return wav
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
     wav = _with_prob(
         k1, cfg.probability, lambda k, x: random_gain(k, x, *cfg.gain_db), wav
     )
@@ -154,5 +264,30 @@ def augment_waveform(key: jax.Array, wav: jnp.ndarray, cfg: AugmentConfig) -> jn
     if any(s != 0 for s in range(math.ceil(lo), math.floor(hi) + 1)):
         wav = _with_prob(
             k4, cfg.probability, lambda k, x: pitch_shift(k, x, lo, hi), wav
+        )
+    if cfg.lowpass_probability > 0:
+        wav = _with_prob(
+            k5, cfg.lowpass_probability,
+            lambda k, x: random_lowpass(k, x, cfg.lowpass_hz, sample_rate, cfg.filter_taps),
+            wav,
+        )
+    if cfg.highpass_probability > 0:
+        wav = _with_prob(
+            k6, cfg.highpass_probability,
+            lambda k, x: random_highpass(k, x, cfg.highpass_hz, sample_rate, cfg.filter_taps),
+            wav,
+        )
+    if cfg.bandpass_probability > 0:
+        wav = _with_prob(
+            k7, cfg.bandpass_probability,
+            lambda k, x: random_bandpass(
+                k, x, cfg.highpass_hz, cfg.lowpass_hz, sample_rate, cfg.filter_taps
+            ),
+            wav,
+        )
+    if len(cfg.time_stretch_rates) > 0:
+        wav = _with_prob(
+            k8, cfg.probability,
+            lambda k, x: time_stretch(k, x, cfg.time_stretch_rates), wav,
         )
     return wav

@@ -114,7 +114,9 @@ def make_ctc_loss_fn(config: ExperimentConfig, model) -> Callable:
         audio = dequantize_pcm(batch["audio"])  # int16 wire format ok
         k_aug, k_spec, k_drop = jax.random.split(rng, 3)
         if train and config.augment.enabled:
-            audio = augment_waveform(k_aug, audio, config.augment)
+            audio = augment_waveform(
+                k_aug, audio, config.augment, sample_rate=fe.sample_rate
+            )
         # fused Pallas frontend on TPU; no gradient flows through it (only
         # params are differentiated), so the kernel needs no VJP
         feats = featurize_batch(audio, fe)
@@ -164,9 +166,18 @@ def make_whisper_loss_fn(config: ExperimentConfig, model) -> Callable:
     return loss_fn
 
 
-def make_train_step(loss_fn: Callable, tx) -> Callable:
+def make_train_step(loss_fn: Callable, tx, fast_rng: bool = False) -> Callable:
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng, step_rng = jax.random.split(state.rng)
+        if fast_rng:
+            # derive the step's dropout/augment stream as an 'rbg' key: mask
+            # bits come from the TPU hardware generator instead of threefry
+            # rounds on the VPU (TrainConfig.fast_dropout_rng; measured +40%
+            # steps/s at flagship B=16). state.rng itself stays threefry so
+            # checkpoints are format-stable and resume exact.
+            step_rng = jax.random.wrap_key_data(
+                jnp.tile(step_rng, 2), impl="rbg"
+            )
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(state.params, batch, step_rng, True)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -199,7 +210,9 @@ def make_joint_loss_fn(config: ExperimentConfig, model) -> Callable:
         audio = dequantize_pcm(batch["audio"])  # int16 wire format ok
         k_aug, k_spec, k_drop = jax.random.split(rng, 3)
         if train and config.augment.enabled:
-            audio = augment_waveform(k_aug, audio, config.augment)
+            audio = augment_waveform(
+                k_aug, audio, config.augment, sample_rate=fe.sample_rate
+            )
         feats = featurize_batch(audio, fe)
         feat_lengths = batch["audio_lengths"] // fe.hop_length
         if train and config.specaugment.enabled:
@@ -252,7 +265,7 @@ def build_train_setup(config: ExperimentConfig, params, mesh=None):
             return inner_loss(p_eff, batch, rng, train)
 
     tx = make_optimizer(config.train.optimizer, mask)
-    step_fn = make_train_step(loss_fn, tx)
+    step_fn = make_train_step(loss_fn, tx, fast_rng=config.train.fast_dropout_rng)
 
     # Sharding is carried by the *inputs* (modern jax.jit semantics): the
     # caller device_puts the batch with batch_sharding(mesh) and the state

@@ -155,3 +155,133 @@ def test_global_cmvn_wired_into_featurize(tmp_path, rng):
         featurize_batch(wav, FrontendConfig(chunk_seconds=2.0, cmvn="global"))
     with pytest.raises(ValueError, match="unknown cmvn"):
         featurize_batch(wav, FrontendConfig(chunk_seconds=2.0, cmvn="banana"))
+
+
+# ---------------------------------------------------------------------------
+# Filter augmentation (SURVEY C4: julius req:30 / audiomentations req:7)
+# ---------------------------------------------------------------------------
+
+
+def _gain_at(wav_out, wav_in, freq, sr=16000):
+    """Amplitude ratio at `freq` between output and input tones."""
+    n = wav_in.shape[-1]
+    w = np.hanning(n)
+    f = np.fft.rfftfreq(n, 1 / sr)
+    i = np.argmin(np.abs(f - freq))
+    a_in = np.abs(np.fft.rfft(np.asarray(wav_in)[0] * w))[i]
+    a_out = np.abs(np.fft.rfft(np.asarray(wav_out)[0] * w))[i]
+    return a_out / max(a_in, 1e-12)
+
+
+def test_lowpass_fir_frequency_response():
+    """random_lowpass with a pinned cutoff: passband unity, stopband
+    attenuated (windowed-sinc property, julius-equivalent)."""
+    from jiao_liao_speech_recognition_tpu.frontend.augment import random_lowpass
+
+    sr, n = 16000, 8192
+    t = np.arange(n) / sr
+    low = np.sin(2 * np.pi * 500.0 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 5000.0 * t).astype(np.float32)
+    wav = jnp.asarray((low + high)[None])
+    out = random_lowpass(jax.random.PRNGKey(0), wav, (2000.0, 2000.0), sr, 101)
+    assert out.shape == wav.shape
+    assert _gain_at(out, jnp.asarray(low[None]), 500.0, sr) > 0.9
+    assert _gain_at(out, jnp.asarray(high[None]), 5000.0, sr) < 0.05
+
+
+def test_highpass_fir_frequency_response():
+    from jiao_liao_speech_recognition_tpu.frontend.augment import random_highpass
+
+    sr, n = 16000, 8192
+    t = np.arange(n) / sr
+    low = np.sin(2 * np.pi * 100.0 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 3000.0 * t).astype(np.float32)
+    wav = jnp.asarray((low + high)[None])
+    out = random_highpass(jax.random.PRNGKey(0), wav, (400.0, 400.0), sr, 101)
+    assert _gain_at(out, jnp.asarray(high[None]), 3000.0, sr) > 0.9
+    assert _gain_at(out, jnp.asarray(low[None]), 100.0, sr) < 0.2
+
+
+def test_bandpass_fir_frequency_response():
+    from jiao_liao_speech_recognition_tpu.frontend.augment import random_bandpass
+
+    sr, n = 16000, 8192
+    t = np.arange(n) / sr
+    mid = np.sin(2 * np.pi * 1500.0 * t).astype(np.float32)
+    low = np.sin(2 * np.pi * 80.0 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 6000.0 * t).astype(np.float32)
+    wav = jnp.asarray((low + mid + high)[None])
+    out = random_bandpass(
+        jax.random.PRNGKey(0), wav, (400.0, 400.0), (3000.0, 3000.0), sr, 101
+    )
+    assert _gain_at(out, jnp.asarray(mid[None]), 1500.0, sr) > 0.85
+    assert _gain_at(out, jnp.asarray(low[None]), 80.0, sr) < 0.2
+    assert _gain_at(out, jnp.asarray(high[None]), 6000.0, sr) < 0.1
+
+
+def test_filter_augment_per_example_cutoffs_and_jit():
+    """Per-example cutoffs: with a wide range, two batch rows of the same
+    tone get different attenuation; whole transform jits."""
+    from jiao_liao_speech_recognition_tpu.frontend.augment import random_lowpass
+
+    sr, n = 16000, 4096
+    t = np.arange(n) / sr
+    tone = np.sin(2 * np.pi * 4000.0 * t).astype(np.float32)
+    wav = jnp.asarray(np.stack([tone, tone]))
+    out = jax.jit(
+        lambda k, x: random_lowpass(k, x, (1000.0, 7000.0), sr, 101)
+    )(jax.random.PRNGKey(3), wav)
+    e0 = float(jnp.sum(out[0] ** 2))
+    e1 = float(jnp.sum(out[1] ** 2))
+    assert abs(e0 - e1) / max(e0, e1) > 0.05  # different cutoffs drawn
+
+
+def test_time_stretch_preserves_pitch_changes_tempo():
+    """Standalone time stretch at rate 1.25: a tone-burst occupying the
+    first 60% of the buffer compresses to ~48% while its dominant frequency
+    stays put (pitch preserved, unlike speed_perturb)."""
+    from jiao_liao_speech_recognition_tpu.frontend.augment import time_stretch
+
+    sr, n = 16000, 16000
+    t = np.arange(n) / sr
+    wav = np.zeros(n, np.float32)
+    burst = int(0.6 * n)
+    wav[:burst] = np.sin(2 * np.pi * 440.0 * t[:burst]).astype(np.float32)
+    out = np.asarray(
+        time_stretch(jax.random.PRNGKey(0), jnp.asarray(wav[None]), (1.25,))
+    )[0]
+    # tempo: energy midpoint shifts from ~0.3n to ~0.24n
+    env = np.cumsum(out**2)
+    mid = np.searchsorted(env, env[-1] / 2) / n
+    assert 0.18 < mid < 0.29, mid
+    # pitch: dominant bin still ~440 Hz over the active region
+    act = out[1000 : int(burst / 1.25) - 1000]
+    freqs = np.fft.rfftfreq(act.size, 1 / sr)
+    peak = freqs[np.argmax(np.abs(np.fft.rfft(act * np.hanning(act.size))))]
+    assert abs(peak - 440.0) < 12.0, peak
+
+
+def test_augment_consumes_filter_and_stretch_config():
+    """The new AugmentConfig fields are live: enabling each filter (p=1)
+    changes the waveform; time_stretch_rates routes through the chain."""
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(2, 8000).astype(np.float32))
+    base = AugmentConfig(
+        enabled=True, probability=0.0, lowpass_probability=0.0,
+        highpass_probability=0.0, bandpass_probability=0.0,
+    )
+    out0 = augment_waveform(jax.random.PRNGKey(1), wav, base)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(wav))
+    for field in ("lowpass_probability", "highpass_probability", "bandpass_probability"):
+        cfg = AugmentConfig(
+            enabled=True, probability=0.0, **{field: 1.0}
+        )
+        out = augment_waveform(jax.random.PRNGKey(1), wav, cfg)
+        assert np.abs(np.asarray(out) - np.asarray(wav)).max() > 1e-4, field
+    cfg = AugmentConfig(
+        enabled=True, probability=1.0, gain_db=(0.0, 0.0),
+        noise_snr_db=(100.0, 100.0), speed_rates=(1.0,),
+        pitch_semitones=(0.0, 0.0), time_stretch_rates=(1.2,),
+    )
+    out = augment_waveform(jax.random.PRNGKey(2), wav, cfg)
+    assert np.abs(np.asarray(out) - np.asarray(wav)).max() > 1e-3
