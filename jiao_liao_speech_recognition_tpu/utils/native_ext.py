@@ -141,6 +141,12 @@ def load_flacio():
         @staticmethod
         def read(path: str):
             frames, sr, _ch = _FlacIO.info(path)
+            if frames > 1_000_000_000:  # ~17 h at 16 kHz
+                # the count comes from the (untrusted) STREAMINFO header: a
+                # corrupted file must not turn into an unbounded allocation
+                raise IOError(
+                    f"flacio: implausible frame count {frames} in {path}"
+                )
             out = np.empty(max(frames, 1), dtype=np.float32)
             decoded = ctypes.c_int64()
             rc = lib.jl_flac_read(
