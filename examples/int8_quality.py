@@ -26,6 +26,9 @@ near ties the cost may be nonzero — rerun this script against any real
 checkpoint by pointing --manifest/--checkpoint at it.
 
 Usage: python examples/int8_quality.py [--workdir /tmp/w8q] [--steps 600]
+       add --assert to fail (exit 1) unless int8 CER/WER == bf16 CER/WER at
+       every batch size — re-checks the published zero-cost claim so the
+       docs number can't silently rot.
 """
 
 import json
@@ -120,6 +123,15 @@ def main():
             print(f"B={batch} {mode}: CER {res['cer']} WER {res['wer']}",
                   flush=True)
     print(json.dumps(results))
+    if "--assert" in sys.argv:
+        bad = [
+            b for b in (4, 16)
+            if results[f"B{b}_int8"] != results[f"B{b}_bf16"]
+        ]
+        if bad:
+            print(f"ASSERT FAILED: int8 != bf16 quality at batch {bad}")
+            raise SystemExit(1)
+        print("ASSERT OK: int8 quality == bf16 at every batch size")
 
 
 if __name__ == "__main__":

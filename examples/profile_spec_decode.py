@@ -147,6 +147,11 @@ def main():
             f"   passes={int(passes):3d}   speedup={t_ar/t_sp:5.2f}x"
             f"   text==greedy: {ok}"
         )
+        if "--assert" in sys.argv and not ok:
+            print(f"ASSERT FAILED: spec text != greedy at corrupt={corrupt}")
+            raise SystemExit(1)
+    if "--assert" in sys.argv:
+        print("ASSERT OK: speculative text == greedy at every corruption rate")
 
 
 if __name__ == "__main__":

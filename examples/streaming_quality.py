@@ -28,6 +28,9 @@ model loses accuracy streamed because its training never bounded its
 context. Measured numbers live in docs/PERFORMANCE.md.
 
 Usage: python examples/streaming_quality.py [--workdir /tmp/jl_sq3] [--steps 2000]
+(--assert: exit 1 unless the matched model's streamed text is bit-exact
+vs its own offline decode at every lookahead — re-checks the published
+streaming-matched exactness claim.)
 """
 
 import json
@@ -185,6 +188,15 @@ def main():
                 flush=True,
             )
     print(json.dumps(results))
+    if "--assert" in sys.argv:
+        bad = [
+            k for k, v in results.items()
+            if k.startswith("matched_look") and v["offline_match"] < 1.0
+        ]
+        if bad:
+            print(f"ASSERT FAILED: streaming-matched model not bit-exact: {bad}")
+            raise SystemExit(1)
+        print("ASSERT OK: streaming-matched model streams == its offline text")
 
 
 if __name__ == "__main__":
