@@ -255,6 +255,29 @@ def cmd_train_lm(args) -> int:
     return 0
 
 
+def cmd_train_unigram(args) -> int:
+    """EM-train an SP-unigram subword vocab over manifest transcripts
+    (SURVEY N9, reference requirements.txt:64). Point
+    data.unigram_vocab at the output to train with it."""
+    from .data.manifest import read_manifest
+    from .data.unigram import UnigramTokenizer
+
+    texts = []
+    for m in args.manifest:
+        texts.extend(read_manifest(m).texts())
+    tok = UnigramTokenizer.train(
+        texts, vocab_size=args.vocab_size, max_piece_len=args.max_piece_len
+    )
+    tok.save(args.output)
+    if args.sp_vocab:
+        tok.save_sp_vocab(args.sp_vocab)
+    print(json.dumps({
+        "unigram_vocab": args.output, "vocab": len(tok), "texts": len(texts),
+        "multi_char_pieces": sum(1 for p in tok.vocab[2:] if len(p) > 1),
+    }))
+    return 0
+
+
 def cmd_prepare(args) -> int:
     """Corpus prep (SURVEY 3.5): transcript table -> filtered, split
     manifests; optionally compute global-CMVN stats over the train split."""
@@ -480,6 +503,16 @@ def main(argv=None) -> int:
     pl.add_argument("--order", type=int, default=3)
     pl.add_argument("--checkpoint", help="take the tokenizer from this bundle")
     pl.set_defaults(fn=cmd_train_lm)
+
+    pu = sub.add_parser(
+        "train-unigram", help="EM-train an SP-unigram subword vocab (N9)"
+    )
+    pu.add_argument("manifest", nargs="+")
+    pu.add_argument("--output", required=True)
+    pu.add_argument("--vocab-size", type=int, default=1024)
+    pu.add_argument("--max-piece-len", type=int, default=4)
+    pu.add_argument("--sp-vocab", help="also dump spm_export_vocab TSV here")
+    pu.set_defaults(fn=cmd_train_unigram)
 
     pi = sub.add_parser(
         "import-whisper",

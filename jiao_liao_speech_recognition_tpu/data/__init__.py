@@ -9,4 +9,5 @@ so jit never recompiles (SURVEY §7 hard-part 4).
 
 from .manifest import Manifest, ManifestRow, read_manifest, write_manifest  # noqa: F401
 from .tokenizer import CharTokenizer  # noqa: F401
+from .unigram import UnigramTokenizer  # noqa: F401
 from .pipeline import BatchIterator, make_batches  # noqa: F401

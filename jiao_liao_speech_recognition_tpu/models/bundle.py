@@ -371,7 +371,19 @@ class ModelBundle:
 
                     tokenizer = ByteLevelBPE.from_hf_dir(ckpt)
                 elif (ckpt / "vocab.json").exists():
-                    tokenizer = CharTokenizer.load(ckpt / "vocab.json")
+                    import json as _json
+
+                    obj = _json.loads((ckpt / "vocab.json").read_text(
+                        encoding="utf-8"
+                    ))
+                    if obj.get("type") == "unigram":
+                        from ..data.unigram import UnigramTokenizer
+
+                        tokenizer = UnigramTokenizer(
+                            obj["pieces"], obj["logprobs"]
+                        )
+                    else:
+                        tokenizer = CharTokenizer.load(ckpt / "vocab.json")
         else:
             if config is None:
                 config = ExperimentConfig()

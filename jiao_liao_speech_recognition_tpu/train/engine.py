@@ -341,7 +341,13 @@ def build_tokenizer_for(config: ExperimentConfig, manifest):
         from ..data.bpe import ByteLevelBPE
 
         return ByteLevelBPE.from_hf_dir(config.data.tokenizer_dir)
-    tokenizer = CharTokenizer.build(manifest.texts())
+    if config.data.unigram_vocab:
+        # SP-unigram subword vocab (SURVEY N9; cli train-unigram)
+        from ..data.unigram import UnigramTokenizer
+
+        tokenizer = UnigramTokenizer.load(config.data.unigram_vocab)
+    else:
+        tokenizer = CharTokenizer.build(manifest.texts())
     if config.model_family == "ctc":
         config.ctc_model.vocab_size = len(tokenizer)
     elif config.model_family == "joint":

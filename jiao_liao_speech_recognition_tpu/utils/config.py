@@ -238,6 +238,9 @@ class DataConfig:
     shuffle_seed: int = 0
     num_host_workers: int = 4
     tokenizer_dir: str = ""  # HF BPE files dir (whisper); else char vocab built
+    # SP-unigram vocab (data/unigram.py: JSON save or spm_export_vocab TSV);
+    # "" = char vocab. Train one with `cli train-unigram` (SURVEY N9)
+    unigram_vocab: str = ""
     dialect_weights: Optional[Dict[str, float]] = None  # joint multi-dialect mix
     # "float32" | "int16": wire format for host->device audio. "int16" ships
     # native PCM (half the bytes over PCIe/relay); featurize_batch dequantizes
