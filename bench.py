@@ -12,15 +12,22 @@ on-device featurize + SpecAugment + CTC loss) at batch 16 x 10 s.
 
 Prints ONE JSON line:
   {"metric": "rtfx", "value": N, "unit": "audio_sec_per_sec_per_chip",
-   "vs_baseline": N, "beam_rtfx": N, "bucketed_rtfx": N,
-   "adapter_finetune_steps_per_sec": N, "parity_ok": bool, ...}
+   "vs_baseline": N, "beam_rtfx": N, "beam_rtfx_pruned": N,
+   "beam_prune_text_equal": bool, "bucketed_rtfx": N,
+   "bucketed_device_rtfx": N, "adapter_finetune_steps_per_sec": N,
+   "parity_ok": bool, "large_v3_adapter_steps_per_sec": N,
+   "large_v3_decode_tok_s": N, ...}
 vs_baseline is measured RTFx / 200 (the driver-set >=200x real-time target,
 BASELINE.md; the reference publishes no throughput numbers).
 
-Flags: --large additionally measures whisper-large-v3 adapter fine-tune
-steps/sec on the chip (several minutes: 3.1 GB bf16 weights + compile);
---no-parity / --no-beam / --no-bucketed skip sections. Each section is
-fault-isolated: a failure nulls its field rather than killing the line.
+The whisper-large-v3 family (adapter fine-tune steps/s at B=4 x 8 s; int8
+serving decode tok/s at B=8; peak HBM for both) runs in the DEFAULT bench
+so configs[4] gets per-round regression tracking (several minutes: 3.1 GB
+bf16 weights + compile). Skip with --no-large.
+
+Flags: --no-parity / --no-beam / --no-bucketed / --no-large skip sections.
+Each section is fault-isolated: a failure or hang nulls its fields rather
+than killing the line.
 """
 
 from __future__ import annotations
@@ -116,27 +123,34 @@ def bench_rtfx() -> float:
     return secs * batch * iters / dt
 
 
-def bench_beam_rtfx() -> float:
+def bench_beam_rtfx() -> dict:
     """Prefix-beam decode RTFx (BASELINE configs[1] as written): device runs
     encoder + log_softmax + per-frame top-k pruning; the C++ engine
     (native/beam.cpp) runs the beam multithreaded across utterances while
     the chip works on the NEXT batch (1-deep software pipeline).
 
-    Measured on a briefly-TRAINED model with the production pruned beam
-    (DecodeConfig.beam_prune_logp semantics): deployed CTC models emit
-    peaked, blank-dominated posteriors, where most frames collapse to the
-    engine's O(beams) blank-only update — random-init near-uniform rows
-    would overstate the per-frame beam cost by orders of magnitude."""
+    Measured on a briefly-TRAINED model: deployed CTC models emit peaked,
+    blank-dominated posteriors, where most frames collapse to the engine's
+    O(beams) blank-only update — random-init near-uniform rows would
+    overstate the per-frame beam cost by orders of magnitude.
+
+    Benched at BOTH pruning settings (r3 verdict item 4): the production
+    default (DecodeConfig.beam_prune_logp) AND the -10.0-nats pruned beam,
+    with a per-run assertion that the two emit byte-identical ids on the
+    bench model — the recorded numbers can't silently depend on an
+    accuracy-relevant knob. Returns {"beam_rtfx": <at production default>,
+    "beam_rtfx_pruned": <at -10>, "beam_prune_text_equal": bool}."""
     import jax
     import jax.numpy as jnp
 
     from jiao_liao_speech_recognition_tpu.decode.ctc import ctc_topk_posteriors
     from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+    from jiao_liao_speech_recognition_tpu.utils.config import DecodeConfig
     from jiao_liao_speech_recognition_tpu.utils.native_ext import load_beam
 
     model, cfg, fe = _flagship()
     secs, batch, K, beam_size = 30.0, 128, 16, 8
-    prune_logp = -10.0
+    default_prune = DecodeConfig().beam_prune_logp  # as configured
     samples = int(secs * fe.sample_rate)
     rng = np.random.RandomState(1)
     wav = jnp.asarray(rng.randn(batch, samples).astype(np.float32) * 0.1)
@@ -156,30 +170,49 @@ def bench_beam_rtfx() -> float:
     wavs = [jnp.roll(wav, i + 1, axis=0) + 1e-4 * (i + 1) for i in range(2)]
     jax.block_until_ready(wavs)
 
-    def host_beam(dev_out):
+    def host_beam(dev_out, prune_logp):
         tv, ti, bl, out_lens = [np.asarray(a) for a in dev_out]
         return engine.search(tv, ti, bl, out_lens, beam_size,
                              prune_logp=prune_logp)
 
-    for w in wavs:  # warm every buffer + the C++ path
-        _ = host_beam(infer_topk(params, w, lengths))
+    # per-run pruning-equality assertion on every warm buffer
+    equal = True
+    for w in wavs:
+        dev_out = infer_topk(params, w, lengths)
+        ids_d, lens_d = host_beam(dev_out, default_prune)
+        ids_p, lens_p = host_beam(dev_out, -10.0)
+        if not (
+            np.array_equal(lens_d, lens_p)
+            and all(
+                np.array_equal(a[:n], b[:n])
+                for a, b, n in zip(ids_d, ids_p, lens_d)
+            )
+        ):
+            equal = False
 
-    iters = 6
-    t0 = time.perf_counter()
-    pending = infer_topk(params, wavs[0], lengths)
-    total_out = 0
-    for i in range(1, iters + 1):
-        nxt = (
-            infer_topk(params, wavs[i % len(wavs)], lengths)
-            if i < iters
-            else None
-        )
-        ids, lens = host_beam(pending)  # host beam overlaps device compute
-        total_out += int(lens.sum())
-        pending = nxt
-    dt = time.perf_counter() - t0
-    assert total_out >= 0
-    return secs * batch * iters / dt
+    def timed_rtfx(prune_logp, iters=6):
+        t0 = time.perf_counter()
+        pending = infer_topk(params, wavs[0], lengths)
+        total_out = 0
+        for i in range(1, iters + 1):
+            nxt = (
+                infer_topk(params, wavs[i % len(wavs)], lengths)
+                if i < iters
+                else None
+            )
+            # host beam overlaps device compute
+            ids, lens = host_beam(pending, prune_logp)
+            total_out += int(lens.sum())
+            pending = nxt
+        dt = time.perf_counter() - t0
+        assert total_out >= 0
+        return secs * batch * iters / dt
+
+    return {
+        "beam_rtfx": round(timed_rtfx(default_prune), 2),
+        "beam_rtfx_pruned": round(timed_rtfx(-10.0), 2),
+        "beam_prune_text_equal": equal,
+    }
 
 
 _BENCH_CORPUS = os.path.join(tempfile.gettempdir(), "jl_bench_corpus")
@@ -214,12 +247,19 @@ def _ensure_bucketed_corpus(n_utts: int = 256, seed: int = 3):
     return manifest
 
 
-def bench_bucketed_rtfx() -> float:
+def bench_bucketed_rtfx() -> dict:
     """Mixed-length RTFx through the PRODUCTION input pipeline: manifest ->
     BatchIterator (length bucketing, one compiled shape per bucket) ->
     prefetch thread -> fused greedy infer -> host text materialization.
     RTFx counts SPOKEN seconds only, so bucket padding waste, ragged
-    batches, host wav decode, and id->text all land in the denominator."""
+    batches, host wav decode, and id->text all land in the denominator.
+
+    Returns {"bucketed_rtfx", "bucketed_device_rtfx"}: the second replays
+    the SAME epoch from device-resident buffers (audio pre-uploaded, no
+    host wav decode / relay transfer / text materialization in the timed
+    window) — the chip-honest twin that separates chip capability from
+    relay bandwidth (r3 verdict item 3). The gap between the two numbers
+    IS the input-pipeline cost on this host."""
     import jax
     import jax.numpy as jnp
 
@@ -304,7 +344,35 @@ def bench_bucketed_rtfx() -> float:
     spoken, texts = run_epoch(timed=True)
     dt = time.perf_counter() - t0
     assert len(texts) == len(manifest.rows)
-    return spoken / dt
+    pipeline_rtfx = spoken / dt
+
+    # --- device-resident replay of the same epoch (chip-honest number) ---
+    # pre-upload every batch (distinct buffers, each warmed by the epochs
+    # above via identical shapes), then time the pure infer chain with one
+    # hard sync at the end: dispatches pipeline, the relay link and host
+    # text work are out of the window.
+    dev_batches = []
+    dev_spoken = 0.0
+    for b in BatchIterator(
+        manifest, tok, data_cfg, drop_last=False, process_index=0, process_count=1
+    ):
+        dev_batches.append(
+            (jnp.asarray(b.audio), jnp.asarray(b.audio_lengths))
+        )
+        dev_spoken += float(np.sum(b.audio_lengths)) / fe.sample_rate
+    jax.block_until_ready(dev_batches)
+    for a, l in dev_batches:  # warm every resident buffer
+        out = infer(params, a, l)
+        _ = int(np.asarray(out[1]).sum())
+    t0 = time.perf_counter()
+    outs = [infer(params, a, l) for a, l in dev_batches]
+    total = int(np.asarray(sum(jnp.sum(o[1]) for o in outs)))  # hard sync
+    dt_dev = time.perf_counter() - t0
+    assert total >= 0
+    return {
+        "bucketed_rtfx": round(pipeline_rtfx, 2),
+        "bucketed_device_rtfx": round(dev_spoken / dt_dev, 2),
+    }
 
 
 _OVERFIT_CACHE: dict = {}
@@ -566,6 +634,84 @@ def bench_large_v3_adapter() -> dict:
     return {"steps_per_sec": round(iters / dt, 3), "peak_hbm_gb": peak}
 
 
+def bench_large_v3_decode() -> dict:
+    """whisper-large-v3 int8-serving AR greedy decode tok/s at B=8 (the
+    production serving configuration: int8 weights + cross/self KV + tied
+    logits — BASELINE configs[4] stretch, now regression-tracked in the
+    default bench per the r3 verdict). Random-init weights: throughput is
+    weight-shape-bound, not value-bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.data.tokenizer import CharTokenizer
+    from jiao_liao_speech_recognition_tpu.decode.whisper_generate import (
+        default_prompt,
+        greedy_generate,
+    )
+    from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.models.whisper import WhisperModel
+    from jiao_liao_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+        FrontendConfig,
+        whisper_preset,
+    )
+
+    cfg = ExperimentConfig(
+        model_family="whisper", whisper=whisper_preset("large-v3")
+    )
+    cfg.frontend = FrontendConfig(num_mels=128)
+    model = WhisperModel(cfg.whisper)
+    params = ModelBundle._init_params(cfg)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    bundle = ModelBundle(config=cfg, params=params, tokenizer=CharTokenizer([]))
+    qparams = bundle.quantize().params
+    del params, bundle
+
+    fe = cfg.frontend
+    B, secs, max_len = 8, 30.0, 64
+    samples = int(secs * fe.sample_rate)
+    prompt = default_prompt(cfg.whisper.vocab_size)
+
+    @jax.jit
+    def decode(p, wav):
+        mel = featurize_batch(wav, fe)
+        return greedy_generate(model, p, mel, max_len=max_len, prompt=prompt)
+
+    rng = np.random.RandomState(8)
+    wavs = [
+        jnp.asarray(rng.randn(B, samples).astype(np.float32) * 0.1)
+        for _ in range(2)
+    ]
+    jax.block_until_ready(wavs)
+    toks_per_iter = 0
+    for wv in wavs:  # compile + warm every distinct buffer
+        _, n = decode(qparams, wv)
+        toks_per_iter = int(np.asarray(n).sum())
+    iters = 4
+    t0 = time.perf_counter()
+    toks = 0
+    for i in range(iters):
+        _, n = decode(qparams, wavs[i % 2])
+        toks += int(np.asarray(n).sum())  # hard host sync
+    dt = time.perf_counter() - t0
+    peak = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        pass
+    assert toks >= toks_per_iter
+    return {
+        "tok_s": round(toks / dt, 1),
+        "decode_rtfx": round(secs * B * iters / dt, 1),
+        "peak_hbm_gb": peak,
+    }
+
+
 def main() -> None:
     import jax
 
@@ -630,30 +776,49 @@ def main() -> None:
     # per-section timeout five times over
     alive = bool(section(_device_alive, timeout_s=330))
     rtfx = section(bench_rtfx, alive)
-    beam_rtfx = section(bench_beam_rtfx, alive and "--no-beam" not in args)
-    bucketed = section(bench_bucketed_rtfx, alive and "--no-bucketed" not in args)
+    beam = section(bench_beam_rtfx, alive and "--no-beam" not in args) or {}
+    bucketed = (
+        section(bench_bucketed_rtfx, alive and "--no-bucketed" not in args)
+        or {}
+    )
     steps_per_sec = section(bench_adapter_finetune, alive)
     parity = section(bench_parity, alive and "--no-parity" not in args)
+    # whisper-large-v3 family in the scored artifact (r3 verdict item 2):
+    # time-bounded, fault-isolated; skip with --no-large
+    run_large = alive and "--no-large" not in args
+    large_ft = section(bench_large_v3_adapter, run_large, timeout_s=1200)
+    large_dec = section(bench_large_v3_decode, run_large, timeout_s=1200)
 
     out = {
         "metric": "rtfx",
         "value": round(rtfx, 2) if rtfx else None,
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(rtfx / 200.0, 3) if rtfx else None,
-        "beam_rtfx": round(beam_rtfx, 2) if beam_rtfx else None,
-        "bucketed_rtfx": round(bucketed, 2) if bucketed else None,
+        "beam_rtfx": beam.get("beam_rtfx"),
+        "beam_rtfx_pruned": beam.get("beam_rtfx_pruned"),
+        "beam_prune_text_equal": beam.get("beam_prune_text_equal"),
+        "bucketed_rtfx": bucketed.get("bucketed_rtfx"),
+        "bucketed_device_rtfx": bucketed.get("bucketed_device_rtfx"),
         "adapter_finetune_steps_per_sec": (
             round(steps_per_sec, 2) if steps_per_sec else None
         ),
         "parity_ok": parity,
         "train_batch": 16,
         "train_secs_per_utt": 10.0,
+        "large_v3_adapter_steps_per_sec": (
+            large_ft.get("steps_per_sec") if large_ft else None
+        ),
+        "large_v3_train_peak_hbm_gb": (
+            large_ft.get("peak_hbm_gb") if large_ft else None
+        ),
+        "large_v3_decode_tok_s": large_dec.get("tok_s") if large_dec else None,
+        "large_v3_decode_rtfx": (
+            large_dec.get("decode_rtfx") if large_dec else None
+        ),
+        "large_v3_serve_peak_hbm_gb": (
+            large_dec.get("peak_hbm_gb") if large_dec else None
+        ),
     }
-    if "--large" in args:
-        large = section(bench_large_v3_adapter, alive)
-        if large:
-            out["large_v3_adapter_steps_per_sec"] = large["steps_per_sec"]
-            out["large_v3_peak_hbm_gb"] = large["peak_hbm_gb"]
     print(json.dumps(out))
 
 

@@ -491,7 +491,6 @@ class TransformerBlock(nn.Module):
         fused_attn = False
         if (
             deterministic
-            and ad.kind != "wf"
             and self_cache is None
             and not self.is_initializing()
             and jnp.dtype(self.dtype) == jnp.bfloat16
@@ -522,13 +521,15 @@ class TransformerBlock(nn.Module):
         ):
             # inference fast paths (ops/fused_attention.py, ops/fused_mlp.py;
             # parity with the module path in tests/test_fused_mlp.py /
-            # tests/test_fused_attention.py). Params were created by the
-            # standard path during init; read them from the bound scope.
+            # tests/test_fused_attention.py / tests/test_fused_wf.py).
+            # Params were created by the standard path during init; read
+            # them from the bound scope.
             from ..ops.fused_attention import (
                 attn_hsplit_fits_vmem,
                 attn_hsplit_supported,
                 attn_sublayer_fits_vmem,
                 fused_attention_sublayer,
+                fused_attention_sublayer_wf,
             )
             from ..ops.fused_mlp import fused_ln_qkv, qkv_fits_vmem
             from ..ops.flash_attention import flash_attention_packed
@@ -554,17 +555,48 @@ class TransformerBlock(nn.Module):
                 # projection -> residual) in two VMEM kernels: only k/v are
                 # materialized in HBM (every query tile needs all keys).
                 # The impl picks whole-D vs head-group-split by dh/VMEM.
-                x = fused_attention_sublayer(
-                    x,
-                    p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
-                    sa["q_proj"]["dense"]["kernel"], sa["q_proj"]["dense"]["bias"],
-                    sa["k_proj"]["dense"]["kernel"],
-                    sa["v_proj"]["dense"]["kernel"], sa["v_proj"]["dense"]["bias"],
-                    sa["out_proj"]["dense"]["kernel"], sa["out_proj"]["dense"]["bias"],
-                    kv_lens, self.num_heads,
-                )
+                if ad.kind == "wf":
+                    # WF-adapted serving: the low-rank inserts fold into the
+                    # effective weights in XLA (skinny matmuls, once per
+                    # dispatch) and the unchanged kernels run — previously
+                    # WF-adapted models were stuck on the module path
+                    x = fused_attention_sublayer_wf(
+                        x,
+                        p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
+                        {
+                            "wq": sa["q_proj"]["dense"]["kernel"],
+                            "bq": sa["q_proj"]["dense"]["bias"],
+                            "wk": sa["k_proj"]["dense"]["kernel"],
+                            "wv": sa["v_proj"]["dense"]["kernel"],
+                            "bv": sa["v_proj"]["dense"]["bias"],
+                            "wo": sa["out_proj"]["dense"]["kernel"],
+                            "bo": sa["out_proj"]["dense"]["bias"],
+                        },
+                        {
+                            n: {
+                                "a": sa[f"{proj}_proj"]["adapter_wf"]["a"],
+                                "g": sa[f"{proj}_proj"]["adapter_wf"]["g"],
+                                "b": sa[f"{proj}_proj"]["adapter_wf"]["b"],
+                            }
+                            for n, proj in (
+                                ("q", "q"), ("k", "k"), ("v", "v"),
+                                ("o", "out"),
+                            )
+                        },
+                        self.num_heads, 1e-5, float(ad.scale), kv_lens,
+                    )
+                else:
+                    x = fused_attention_sublayer(
+                        x,
+                        p["self_attn_ln"]["scale"], p["self_attn_ln"]["bias"],
+                        sa["q_proj"]["dense"]["kernel"], sa["q_proj"]["dense"]["bias"],
+                        sa["k_proj"]["dense"]["kernel"],
+                        sa["v_proj"]["dense"]["kernel"], sa["v_proj"]["dense"]["bias"],
+                        sa["out_proj"]["dense"]["kernel"], sa["out_proj"]["dense"]["bias"],
+                        kv_lens, self.num_heads,
+                    )
                 fused_attn = True
-            elif qkv_fits_vmem(self.d_model, self.d_model):
+            elif ad.kind != "wf" and qkv_fits_vmem(self.d_model, self.d_model):
                 # long-context fallback: fused LN+QKV kernel into the
                 # head-packed flash kernel (online softmax), out-projection
                 # with the residual fused into its epilogue by XLA
@@ -636,7 +668,6 @@ class TransformerBlock(nn.Module):
             x = x + cross_out
         if (
             deterministic
-            and ad.kind != "wf"
             and not self.is_initializing()
             and jnp.dtype(self.dtype) == jnp.bfloat16
             and x.ndim == 3
@@ -653,6 +684,7 @@ class TransformerBlock(nn.Module):
             # the standard path during init; read them from the bound scope.
             from ..ops.fused_mlp import (
                 fused_ln_mlp_residual,
+                fused_ln_mlp_residual_wf,
                 mlp_csplit_fits_vmem,
                 mlp_fits_vmem,
             )
@@ -661,16 +693,41 @@ class TransformerBlock(nn.Module):
                 self.d_model, self.mlp_dim
             ):
                 p = self.variables["params"]
-                x = fused_ln_mlp_residual(
-                    x,
-                    p["mlp_ln"]["scale"], p["mlp_ln"]["bias"],
-                    p["mlp"]["fc1"]["dense"]["kernel"],
-                    p["mlp"]["fc1"]["dense"]["bias"],
-                    p["mlp"]["fc2"]["dense"]["kernel"],
-                    p["mlp"]["fc2"]["dense"]["bias"],
-                    1e-5,
-                    self.gelu_form,
-                )
+                if ad.kind == "wf":
+                    # WF-adapted serving: fold the fc1/fc2 inserts (see the
+                    # attention gate above)
+                    x = fused_ln_mlp_residual_wf(
+                        x,
+                        p["mlp_ln"]["scale"], p["mlp_ln"]["bias"],
+                        p["mlp"]["fc1"]["dense"]["kernel"],
+                        p["mlp"]["fc1"]["dense"]["bias"],
+                        p["mlp"]["fc2"]["dense"]["kernel"],
+                        p["mlp"]["fc2"]["dense"]["bias"],
+                        {
+                            "a": p["mlp"]["fc1"]["adapter_wf"]["a"],
+                            "g": p["mlp"]["fc1"]["adapter_wf"]["g"],
+                            "b": p["mlp"]["fc1"]["adapter_wf"]["b"],
+                        },
+                        {
+                            "a": p["mlp"]["fc2"]["adapter_wf"]["a"],
+                            "g": p["mlp"]["fc2"]["adapter_wf"]["g"],
+                            "b": p["mlp"]["fc2"]["adapter_wf"]["b"],
+                        },
+                        1e-5,
+                        self.gelu_form,
+                        float(ad.scale),
+                    )
+                else:
+                    x = fused_ln_mlp_residual(
+                        x,
+                        p["mlp_ln"]["scale"], p["mlp_ln"]["bias"],
+                        p["mlp"]["fc1"]["dense"]["kernel"],
+                        p["mlp"]["fc1"]["dense"]["bias"],
+                        p["mlp"]["fc2"]["dense"]["kernel"],
+                        p["mlp"]["fc2"]["dense"]["bias"],
+                        1e-5,
+                        self.gelu_form,
+                    )
             else:
                 h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_ln")(x)
                 x = x + MLP(

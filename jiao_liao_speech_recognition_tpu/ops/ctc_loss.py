@@ -37,8 +37,17 @@ def ctc_loss(
     labels: jnp.ndarray,  # [B, S] int labels (no blanks; padding arbitrary)
     label_lengths: jnp.ndarray,  # [B] valid label counts
     blank_id: int = 0,
+    unroll: int = 16,
 ) -> jnp.ndarray:
-    """Per-example CTC negative log likelihood, shape [B]."""
+    """Per-example CTC negative log likelihood, shape [B].
+
+    `unroll`: lax.scan unroll factor. The recursion body is a tiny
+    [B, 2S+1] VPU op, so the XLA while-loop's per-iteration overhead
+    dominates the scan; unrolling fuses `unroll` steps per iteration
+    (the transposed backward scan inherits it). Measured at flagship
+    train shapes (B=16, T'=250, S=24, V=4336) on the v5e: fwd+bwd
+    4.94 ms -> see docs/PERFORMANCE.md sweep — the CTC loss was 28%
+    of the whole WF-adapter train step at unroll=1."""
     B, T, V = log_probs.shape
     S = labels.shape[1]
     U = 2 * S + 1
@@ -82,7 +91,9 @@ def ctc_loss(
         return new, None
 
     ts = jnp.arange(1, T)
-    alpha, _ = jax.lax.scan(step, alpha0, (emit[1:], ts))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (emit[1:], ts), unroll=max(int(unroll), 1)
+    )
 
     end_u = 2 * label_lengths  # final blank state
     a_last = jnp.take_along_axis(alpha, end_u[:, None], axis=1)[:, 0]

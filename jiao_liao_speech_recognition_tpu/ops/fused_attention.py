@@ -488,3 +488,119 @@ def _fattn_bwd(num_heads, eps, res, gout):
 
 
 fused_attention_sublayer.defvjp(_fattn_fwd, _fattn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# WF-adapter variant: the TRAINING fast path (r4).
+#
+# WFDense computes y = x @ W + wf_scale * ((x @ A) * g) @ B per projection
+# (models/adapters.py) — the effective weight is W + wf_scale * A diag(g) B.
+# The forward FOLDS that effective weight in XLA (a [d,r]@[r,D] skinny matmul
+# per projection, ~2 MFLOP at flagship shapes — once per step, not per
+# token) and runs the unchanged fused kernels; the backward differentiates
+# the FACTORED reference, so dA/dg/dB stay the cheap skinny contractions and
+# the frozen-W cotangents remain DCE-able dead code under the training
+# engine's stop_gradient masking (train/engine.py). Forward numerics differ
+# from the module path only in bf16 rounding of (W + insert) vs
+# (x@W + insert(x)); grads follow the factored semantics exactly
+# (tests/test_fused_wf.py pins both).
+# ---------------------------------------------------------------------------
+
+
+def _fold_wf(w, f, wf_scale):
+    """Effective weight W + wf_scale * A diag(g) B in f32."""
+    return w + wf_scale * ((f["a"] * f["g"][None, :]) @ f["b"])
+
+
+def _attn_sublayer_reference_wf(
+    x, g, bl, base, wf, kv_lengths, num_heads, eps, wf_scale
+):
+    """XLA twin with the FACTORED WF inserts (module-path semantics:
+    WFDense computes the frozen projection in bf16, then adds
+    wf_scale * ((x@A)*g)@B evaluated in bf16)."""
+    dt = x.dtype
+
+    def insert(inp, name):
+        f = wf[name]
+        z = jnp.dot(inp, f["a"].astype(dt))
+        z = z * f["g"].astype(dt)
+        return wf_scale * jnp.dot(z, f["b"].astype(dt))
+
+    ln = _ln_f32(x, g, bl, eps).astype(dt)
+    dims = (((2,), (0,)), ((), ()))
+    q = jax.lax.dot_general(ln, base["wq"].astype(dt), dims,
+                            preferred_element_type=jnp.float32).astype(dt)
+    q = q + base["bq"].astype(dt) + insert(ln, "q")
+    k = jax.lax.dot_general(ln, base["wk"].astype(dt), dims,
+                            preferred_element_type=jnp.float32).astype(dt)
+    k = k + insert(ln, "k")
+    v = jax.lax.dot_general(ln, base["wv"].astype(dt), dims,
+                            preferred_element_type=jnp.float32).astype(dt)
+    v = v + base["bv"].astype(dt) + insert(ln, "v")
+    B, T, d = x.shape
+    D = base["wq"].shape[1]
+    dh = D // num_heads
+    qh = q.reshape(B, T, num_heads, dh)
+    kh = k.reshape(B, T, num_heads, dh)
+    vh = v.reshape(B, T, num_heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / np.sqrt(dh)
+    mask = jnp.arange(T)[None, None, None, :] < kv_lengths[:, None, None, None]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                      preferred_element_type=jnp.float32).astype(dt)
+    attn = attn.reshape(B, T, D)
+    out = jax.lax.dot_general(attn, base["wo"].astype(dt), dims,
+                              preferred_element_type=jnp.float32).astype(dt)
+    out = out + base["bo"].astype(dt) + insert(attn, "o")
+    return x + out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_sublayer_wf(
+    x, g, bl, base, wf, num_heads, eps, wf_scale, kv_lengths
+):
+    """y = x + out_proj(MHA(LayerNorm(x))) with WF-adapter inserts on all
+    four projections, fused for TRAINING forwards. base =
+    {wq,bq,wk,wv,bv,wo,bo}; wf = {q|k|v|o: {a,g,b}} (WFDense param layout);
+    kv_lengths int32 [B] (diff-arg position so custom_vjp sees a pytree of
+    arrays; its cotangent is None)."""
+    return _fused_attn_wf_fwd_impl(
+        x, g, bl, base, wf, num_heads, eps, wf_scale, kv_lengths
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "eps", "wf_scale"))
+def _fused_attn_wf_fwd_impl(
+    x, g, bl, base, wf, num_heads, eps, wf_scale, kv_lengths
+):
+    return _fused_attn_fwd_impl(
+        x, g, bl,
+        _fold_wf(base["wq"], wf["q"], wf_scale), base["bq"],
+        _fold_wf(base["wk"], wf["k"], wf_scale),
+        _fold_wf(base["wv"], wf["v"], wf_scale), base["bv"],
+        _fold_wf(base["wo"], wf["o"], wf_scale), base["bo"],
+        kv_lengths, num_heads, eps,
+    )
+
+
+def _fattn_wf_fwd(x, g, bl, base, wf, num_heads, eps, wf_scale, kv_lengths):
+    out = _fused_attn_wf_fwd_impl(
+        x, g, bl, base, wf, num_heads, eps, wf_scale, kv_lengths
+    )
+    return out, (x, g, bl, base, wf, kv_lengths)
+
+
+def _fattn_wf_bwd(num_heads, eps, wf_scale, res, gout):
+    x, g, bl, base, wf, kv_lengths = res
+    _, vjp = jax.vjp(
+        lambda *a: _attn_sublayer_reference_wf(
+            *a, kv_lengths, num_heads, eps, wf_scale
+        ),
+        x, g, bl, base, wf,
+    )
+    return vjp(gout) + (None,)
+
+
+fused_attention_sublayer_wf.defvjp(_fattn_wf_fwd, _fattn_wf_bwd)

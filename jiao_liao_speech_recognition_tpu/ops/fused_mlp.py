@@ -355,6 +355,93 @@ fused_ln_mlp_residual.defvjp(_flnm_fwd, _flnm_bwd)
 
 
 # ---------------------------------------------------------------------------
+# WF-adapter variant: the TRAINING fast path (r4). Forward folds the
+# effective weights W + wf_scale * A diag(g) B (skinny XLA matmuls, once per
+# step) and runs the unchanged kernel; backward differentiates the FACTORED
+# reference so dA/dg/dB stay cheap and frozen-W cotangents stay DCE-able
+# dead code under stop_gradient masking. See
+# ops/fused_attention.fused_attention_sublayer_wf for the full rationale.
+# ---------------------------------------------------------------------------
+
+
+def _fold_wf(w, f, wf_scale):
+    return w + wf_scale * ((f["a"] * f["g"][None, :]) @ f["b"])
+
+
+def _ln_mlp_reference_wf(x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form,
+                         wf_scale):
+    """Factored-insert twin of _ln_mlp_reference (WFDense semantics)."""
+    dt = x.dtype
+
+    def insert(inp, f):
+        z = jnp.dot(inp, f["a"].astype(dt))
+        z = z * f["g"].astype(dt)
+        return wf_scale * jnp.dot(z, f["b"].astype(dt))
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = ((xc * jax.lax.rsqrt(var + eps)) * g + bl).astype(dt)
+    h = jax.lax.dot_general(
+        ln, w1.astype(dt), (((ln.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b1.astype(dt) + insert(ln, wf1)
+    h = jax.nn.gelu(
+        h.astype(jnp.float32), approximate=gelu_form == "tanh"
+    ).astype(dt)
+    y = jax.lax.dot_general(
+        h, w2.astype(dt), (((h.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b2.astype(dt) + insert(h, wf2)
+    return x + y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_ln_mlp_residual_wf(
+    x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form, wf_scale
+):
+    """y = x + fc2(gelu(fc1(LayerNorm(x)))) with WF inserts on fc1/fc2,
+    fused for training forwards. wf1/wf2 = {a, g, b} (WFDense layout)."""
+    return _fused_ln_mlp_wf_fwd_impl(
+        x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form, wf_scale
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "gelu_form", "wf_scale")
+)
+def _fused_ln_mlp_wf_fwd_impl(
+    x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form, wf_scale
+):
+    return _fused_ln_mlp_fwd_impl(
+        x, g, bl,
+        _fold_wf(w1, wf1, wf_scale), b1,
+        _fold_wf(w2, wf2, wf_scale), b2,
+        eps, gelu_form,
+    )
+
+
+def _flnm_wf_fwd(x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form, wf_scale):
+    out = _fused_ln_mlp_wf_fwd_impl(
+        x, g, bl, w1, b1, w2, b2, wf1, wf2, eps, gelu_form, wf_scale
+    )
+    return out, (x, g, bl, w1, b1, w2, b2, wf1, wf2)
+
+
+def _flnm_wf_bwd(eps, gelu_form, wf_scale, res, gout):
+    x, g, bl, w1, b1, w2, b2, wf1, wf2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _ln_mlp_reference_wf(*a, eps, gelu_form, wf_scale),
+        x, g, bl, w1, b1, w2, b2, wf1, wf2,
+    )
+    return vjp(gout)
+
+
+fused_ln_mlp_residual_wf.defvjp(_flnm_wf_fwd, _flnm_wf_bwd)
+
+
+# ---------------------------------------------------------------------------
 # LN + QKV projections: (q, k, v) = LN(x) @ (Wq, Wk, Wv) + biases
 #
 # Same motivation as the MLP sublayer: XLA materializes the LayerNorm output

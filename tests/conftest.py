@@ -1,27 +1,41 @@
 """Test harness config: force JAX onto CPU with 8 virtual devices BEFORE jax
 imports, so pjit/shard_map multi-chip paths are exercised without TPU
-hardware (SURVEY.md §4.3)."""
+hardware (SURVEY.md §4.3).
+
+On-chip tier: `JL_TPU_TESTS=1 pytest tests/ -m tpu -q` keeps the real TPU
+backend and runs only @pytest.mark.tpu tests — real-lowering parity checks
+for every fused Pallas kernel (tests/test_tpu_tier.py), so a Mosaic/XLA
+regression turns a test red instead of surfacing as a bench-day surprise.
+Default (CPU) runs auto-skip tpu-marked tests."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_TIER = os.environ.get("JL_TPU_TESTS") == "1"
+
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The environment's site customization pins JAX_PLATFORMS to the TPU plugin
-# before test code runs; config.update is the override that sticks.
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    # The environment's site customization pins JAX_PLATFORMS to the TPU
+    # plugin before test code runs; config.update is the override that
+    # sticks.
+    jax.config.update("jax_platforms", "cpu")
+    cache_dir = "/tmp/jl_xla_cache_cpu"
+else:
+    cache_dir = "/tmp/jl_xla_cache"  # share the bench's TPU compile cache
 
-# Persistent XLA:CPU compile cache: the suite is compile-bound (21 min cold
+# Persistent XLA compile cache: the suite is compile-bound (21 min cold
 # on this 1-core host, dominated by hundreds of small jit compiles), and
 # the cache makes warm reruns skip nearly all of it. Safe across tests —
 # the cache key hashes the computation + platform + device layout.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -33,7 +47,18 @@ def pytest_collection_modifyitems(config, items):
     """Default runs skip @pytest.mark.heavy (the multi-minute XLA:CPU mesh
     compiles and subprocess multihost runs) so the edit-test loop stays
     fast. They are NOT optional: run `JL_HEAVY=1 pytest tests/ -q` (or
-    `-m heavy`) before committing parallel/train changes."""
+    `-m heavy`) before committing parallel/train changes.
+
+    @pytest.mark.tpu tests need the real chip: skipped unless JL_TPU_TESTS=1
+    (and, symmetrically, everything else assumes CPU-8 — run the tpu tier
+    with `-m tpu` so CPU-pinned tests don't run against the chip)."""
+    if not TPU_TIER:
+        skip_tpu = pytest.mark.skip(
+            reason="on-chip tier: JL_TPU_TESTS=1 pytest tests/ -m tpu"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip_tpu)
     if os.environ.get("JL_HEAVY"):
         return
     if config.getoption("-m") and "heavy" in config.getoption("-m"):
