@@ -68,13 +68,14 @@ def main() -> None:
     secs = 10.0
     vocab = 4336
 
-    def make_config(dropout: float) -> ExperimentConfig:
+    def make_config(dropout: float, use_flash: bool = True) -> ExperimentConfig:
         config = ExperimentConfig(
             model_family="ctc",
             ctc_model=CTCModelConfig(
                 vocab_size=vocab,
                 adapter=AdapterConfig(kind="wf", wf_rank=8),
                 dropout=dropout,
+                use_flash_attention=use_flash,
             ),
         )
         config.train.train_adapters_only = True
@@ -149,6 +150,20 @@ def main() -> None:
         )
         row["step_nodrop"] = dt
 
+        # --- full step, flash OFF in training ---
+        # flash's custom_vjp backward RECOMPUTES its reference forward
+        # (remat semantics); the einsum path lets XLA keep saved
+        # intermediates — at training shapes the recompute may cost more
+        # than the fwd HBM traffic flash saves
+        cfgnf = make_config(0.1, use_flash=False)
+        modelnf, loss_fnnf, txnf, jittednf = build_train_setup(cfgnf, params)
+        statenf = init_state(cfgnf, txnf, fresh_params())
+        dt = time_chain(
+            lambda s, b: jittednf(s, b), statenf, bufs, iters,
+            lambda out: float(out[1]["loss"]),
+        )
+        row["step_noflash"] = dt
+
         # --- forward-only loss (train=True) ---
         key = jax.random.PRNGKey(0)
 
@@ -194,19 +209,20 @@ def main() -> None:
         print(
             f"B={B:4d}  step={row['step']*1e3:8.2f} ms ({audio/row['step']:8.0f} au-s/s, "
             f"{1/row['step']:6.2f} steps/s)  nodrop={row['step_nodrop']*1e3:8.2f}  "
+            f"noflash={row['step_noflash']*1e3:8.2f}  "
             f"fwd={row['fwd']*1e3:7.2f}  fwd_det={row['fwd_det']*1e3:7.2f}  "
             f"feat={row['feat']*1e3:6.2f}",
             flush=True,
         )
 
     print("\nsummary (ms):")
-    print(f"{'B':>4} {'step':>9} {'nodrop':>9} {'fwd':>8} {'fwd_det':>8} {'feat':>7} {'bwd+opt':>8} {'au-s/s':>8}")
+    print(f"{'B':>4} {'step':>9} {'nodrop':>9} {'noflash':>9} {'fwd':>8} {'fwd_det':>8} {'feat':>7} {'au-s/s':>8}")
     for r in results:
-        bwd = r["step_nodrop"] - r["fwd"]
         print(
             f"{r['B']:>4} {r['step']*1e3:>9.2f} {r['step_nodrop']*1e3:>9.2f} "
+            f"{r['step_noflash']*1e3:>9.2f} "
             f"{r['fwd']*1e3:>8.2f} {r['fwd_det']*1e3:>8.2f} {r['feat']*1e3:>7.2f} "
-            f"{bwd*1e3:>8.2f} {r['B']*secs/r['step']:>8.0f}"
+            f"{r['B']*secs/r['step']:>8.0f}"
         )
 
 

@@ -134,17 +134,20 @@ class AttAdapter(nn.Module):
         Tk = k.shape[1]
         from .layers import dot_product_attention
 
-        # use_flash: the forward never materializes the [Tq, Tk] scores in
-        # HBM (ops/flash_attention.py pads dk to the 128-lane width); the
-        # custom_vjp backward differentiates the reference einsum, so
-        # training through the adapter stays exact while the forward —
-        # which runs once per step AND once per decode — goes blockwise
+        # use_flash on the deterministic path: the forward never
+        # materializes the [Tq, Tk] scores in HBM (ops/flash_attention.py
+        # pads dk to the 128-lane width). TRAINING at short T keeps the
+        # einsum path — the flash custom_vjp backward RECOMPUTES its
+        # reference forward (remat semantics) while XLA's einsum backward
+        # reuses saved softmax intermediates (same r4 finding as the
+        # backbone attention, models/layers.py); long T keeps flash for
+        # the quadratic activation memory.
         out = dot_product_attention(
             q.reshape(B, Tq, H, dk),
             k.reshape(B, Tk, H, dk),
             v.reshape(B, Tk, H, dk),
             mask,
-            use_flash=True,
+            use_flash=deterministic or Tq >= 512,
         )
         out = out.reshape(B, Tq, H * dk)
         out = nn.Dense(

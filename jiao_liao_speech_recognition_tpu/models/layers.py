@@ -386,8 +386,17 @@ class MultiHeadAttention(nn.Module):
             # multi-row masks (band/causal) carry structure lengths can't
             # express; drop the lengths so the kernels can't shadow the mask
             kv_lengths = None
+        # TRAINING keeps the einsum path at short T: the flash kernels'
+        # custom_vjp backward RECOMPUTES their reference forward (remat
+        # semantics), while XLA's einsum backward reuses saved softmax
+        # intermediates — measured 12.07 vs 13.18 ms/step on the flagship
+        # WF-adapter fine-tune (B=16 x 10 s, T'=250). At long T the saved
+        # [B, H, T, T] probs explode quadratically (large-v3 30 s: T=1500
+        # -> ~23 GB across 64 layers at B=4), so flash's recompute IS the
+        # memory plan — keep it for Tq >= 512.
+        use_flash_here = self.use_flash and (deterministic or Tq >= 512)
         if (
-            self.use_flash
+            use_flash_here
             and dh % 128 == 0
             and Tq >= 64  # decode steps (Tq=1) would pad to a wasted BLOCK_Q
             and jax.default_backend() == "tpu"
@@ -408,7 +417,8 @@ class MultiHeadAttention(nn.Module):
             kh = k.reshape(B, Tk, self.num_heads, dh)
             vh = v.reshape(B, Tk, self.num_heads, dh)
             out = dot_product_attention(
-                qh, kh, vh, mask, use_flash=self.use_flash, kv_lengths=kv_lengths
+                qh, kh, vh, mask, use_flash=use_flash_here,
+                kv_lengths=kv_lengths,
             )
             out = out.reshape(B, Tq, self.d_model)
         out = WFDense(self.d_model, wf, self.dtype, name="out_proj")(out)

@@ -37,17 +37,19 @@ def ctc_loss(
     labels: jnp.ndarray,  # [B, S] int labels (no blanks; padding arbitrary)
     label_lengths: jnp.ndarray,  # [B] valid label counts
     blank_id: int = 0,
-    unroll: int = 16,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Per-example CTC negative log likelihood, shape [B].
 
-    `unroll`: lax.scan unroll factor. The recursion body is a tiny
-    [B, 2S+1] VPU op, so the XLA while-loop's per-iteration overhead
-    dominates the scan; unrolling fuses `unroll` steps per iteration
-    (the transposed backward scan inherits it). Measured at flagship
-    train shapes (B=16, T'=250, S=24, V=4336) on the v5e: fwd+bwd
-    4.94 ms -> see docs/PERFORMANCE.md sweep — the CTC loss was 28%
-    of the whole WF-adapter train step at unroll=1."""
+    `unroll`: lax.scan unroll factor (the transposed backward scan
+    inherits it). Measured at flagship train shapes (B=16, T'=250, S=24,
+    V=4336) on the v5e with the one-hot emission matmul below: fwd+bwd
+    0.52 ms at unroll=1 vs 0.58/0.88 at 8/16 — the loop body is a tiny
+    [B, 2S+1] VPU op and unrolling only grows the program, so 1 is the
+    default. (Historical note: with the previous take_along_axis emission
+    gather this whole loss cost 4.94 ms fwd+bwd — 28% of the WF-adapter
+    train step — and the unroll sweep was flat because the GATHER, not
+    the scan, dominated; see the emission-matmul comment below.)"""
     B, T, V = log_probs.shape
     S = labels.shape[1]
     U = 2 * S + 1
@@ -67,10 +69,27 @@ def ctc_loss(
     u_idx = jnp.arange(U)[None, :]
     valid_state = u_idx < (2 * label_lengths[:, None] + 1)
 
-    # per-step emissions gathered once: [T, B, U]
-    emit = jnp.take_along_axis(
-        log_probs, ext[:, None, :].repeat(T, axis=1), axis=2
-    ).transpose(1, 0, 2)
+    # per-step emissions gathered once: [T, B, U]. Formulated as a one-hot
+    # MATMUL, not take_along_axis: TPUs have no native gather — XLA lowers
+    # the [B,T,U]-over-V gather (and its scatter-add transpose in the
+    # backward) to serialized dynamic slices, which measured ~2.6 ms fwd /
+    # ~5.5 ms fwd+bwd at flagship train shapes (B=16, T'=250, V=4336) —
+    # 28% of the whole WF-adapter train step. The one-hot contraction is
+    # 1.7 GFLOP on the MXU and its transpose is another matmul; HIGHEST
+    # precision keeps it bit-exact (one side is exactly 0/1). Guarded by a
+    # memory budget for very wide vocabs (the one-hot is [B, V, U]).
+    if B * V * U <= (1 << 28):
+        onehot = (
+            ext[:, None, :] == jnp.arange(V, dtype=jnp.int32)[None, :, None]
+        ).astype(log_probs.dtype)  # [B, V, U]
+        emit = jax.lax.dot_general(
+            log_probs, onehot, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        ).transpose(1, 0, 2)
+    else:
+        emit = jnp.take_along_axis(
+            log_probs, ext[:, None, :].repeat(T, axis=1), axis=2
+        ).transpose(1, 0, 2)
 
     alpha0 = jnp.full((B, U), NEG_INF, dtype=jnp.float32)
     alpha0 = alpha0.at[:, 0].set(emit[0, :, 0])
