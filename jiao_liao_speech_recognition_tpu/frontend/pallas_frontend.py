@@ -59,14 +59,26 @@ def _logmel_kernel(*refs, n_fft, hop, n_freqs, log_floor):
     basis_ref, mel_ref, out_ref = refs[k], refs[k + 1], refs[k + 2]
 
     # proj[i, f] = sum_j wav_j[i, :] @ basis[j*hop:(j+1)*hop, f]
+    # precision=HIGHEST: Mosaic's default f32 dot is ~3-pass-bf16 ACCURATE
+    # (though multi-pass-bf16 in cost — examples/profile_frontend_precision.py),
+    # and a 3-term split leaves ~0.3 absolute error at deep spectral valleys
+    # on the normalized log-mel surface; the on-chip tier
+    # (tests/test_tpu_tier.py::test_pallas_frontend_lowering) caught exactly
+    # that signature (max 0.124 vs the HIGHEST-precision jnp path).
     proj = jnp.zeros((FRAME_TILE, basis_ref.shape[1]), jnp.float32)
     for j in range(k):
         proj = proj + jnp.dot(
             wav_refs[j][0],
             basis_ref[j * hop : (j + 1) * hop, :],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     power = proj[:, :n_freqs] ** 2 + proj[:, n_freqs : 2 * n_freqs] ** 2
+    # the mel matmul stays at default precision: it contracts POSITIVE
+    # powers against POSITIVE filter weights — no cancellation, so the
+    # ~1e-5 relative error of multi-pass-bf16 stays ~1e-5 relative after
+    # the log (vs the DFT above, where valley cancellation amplifies the
+    # same error ~1000x past the 2e-4 parity bar)
     melspec = jnp.dot(power, mel_ref[:n_freqs, :], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(jnp.maximum(melspec, log_floor)) * np.float32(
         1.0 / np.log(10.0)

@@ -189,3 +189,39 @@ def test_packed_flash_gradients(rng):
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, g_ref):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-2
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_ragged_multiblock(rng, causal):
+    """Pallas backward == reference grads over multiple q/k blocks with
+    ragged kv lengths (exercises block-boundary masking and the causal
+    start-block skip in the dkv kernel)."""
+    B, T, H, D = 3, 300, 2, 64
+    q, k, v = _qkv(rng, B, T, H, D)
+    lens = jnp.asarray([300, 257, 128], jnp.int32)
+    w = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))  # non-uniform cotangent
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lengths=lens, causal=causal) * w)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v, lens, causal) * w)
+
+    gf = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_flash_backward_zero_grads_on_padded_keys(rng):
+    """Keys beyond kv_len must receive exactly-zero dK/dV."""
+    B, T, H, D = 1, 128, 1, 32
+    q, k, v = _qkv(rng, B, T, H, D)
+    lens = jnp.asarray([70], jnp.int32)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_lengths=lens))
+
+    _, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    assert np.abs(np.asarray(dk)[:, 70:]).max() == 0.0
+    assert np.abs(np.asarray(dv)[:, 70:]).max() == 0.0

@@ -332,3 +332,39 @@ def test_fused_wf_mlp_lowering():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_flash_backward_lowering():
+    """Pallas flash BACKWARD (dQ/dK/dV kernels) on the real chip vs the
+    XLA einsum reference gradient — guards the Mosaic lowering of the
+    lse-residual custom_vjp (interpret-mode parity lives in
+    tests/test_flash_attention.py)."""
+    _require_tpu()
+    import jax
+
+    from jiao_liao_speech_recognition_tpu.ops import flash_attention as fl
+
+    rng = np.random.RandomState(11)
+    B, T, H, dh = 2, 600, 2, 64
+    q = _rand(rng, B, T, H, dh)
+    k = _rand(rng, B, T, H, dh)
+    v = _rand(rng, B, T, H, dh)
+    lens = jnp.asarray([T, 511], jnp.int32)
+    w = jnp.asarray(np.random.RandomState(12).randn(B, T, H, dh), jnp.float32)
+
+    for causal in (False, True):
+        def f_flash(q, k, v):
+            return jnp.sum(
+                fl.flash_attention(q, k, v, kv_lengths=lens, causal=causal) * w
+            )
+
+        def f_ref(q, k, v):
+            return jnp.sum(fl._reference_attention(q, k, v, lens, causal) * w)
+
+        gf = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=3e-2, rtol=3e-2,
+            )
