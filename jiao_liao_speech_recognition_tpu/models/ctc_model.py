@@ -131,6 +131,7 @@ class CTCEncoderModel(nn.Module):
                 cfg.adapter if cfg.adapter.kind != "none" else None,
                 cfg.use_flash_attention,
                 gelu_form=cfg.gelu_form,
+                flash_train_min_q=cfg.flash_train_min_q,
                 name=f"block_{i}",
             )
             # positional call keeps nn.remat static_argnums stable

@@ -64,6 +64,7 @@ class JointCTCAttentionModel(nn.Module):
             block(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
                 ad, cfg.use_flash_attention, gelu_form=cfg.gelu_form,
+                flash_train_min_q=cfg.flash_train_min_q,
                 name=f"enc_block_{i}",
             )
             for i in range(cfg.num_layers)
@@ -80,7 +81,9 @@ class JointCTCAttentionModel(nn.Module):
             TransformerBlock(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
                 ad, cfg.use_flash_attention, cross_attention=True,
-                gelu_form=cfg.gelu_form, name=f"dec_block_{i}",
+                gelu_form=cfg.gelu_form,
+                flash_train_min_q=cfg.flash_train_min_q,
+                name=f"dec_block_{i}",
             )
             for i in range(cfg.decoder_layers)
         ]

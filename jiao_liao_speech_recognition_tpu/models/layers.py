@@ -201,6 +201,10 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     adapter: Optional[AdapterConfig] = None
     use_flash: bool = False
+    # smallest Tq at which TRAINING (non-deterministic) attention routes to
+    # the flash kernels; see the gate comment in __call__ for the measured
+    # crossover. Inference always uses flash when eligible.
+    flash_train_min_q: int = 512
 
     @nn.compact
     def __call__(
@@ -386,15 +390,20 @@ class MultiHeadAttention(nn.Module):
             # multi-row masks (band/causal) carry structure lengths can't
             # express; drop the lengths so the kernels can't shadow the mask
             kv_lengths = None
-        # TRAINING keeps the einsum path at short T: the flash kernels'
-        # custom_vjp backward RECOMPUTES their reference forward (remat
-        # semantics), while XLA's einsum backward reuses saved softmax
-        # intermediates — measured 12.07 vs 13.18 ms/step on the flagship
-        # WF-adapter fine-tune (B=16 x 10 s, T'=250). At long T the saved
-        # [B, H, T, T] probs explode quadratically (large-v3 30 s: T=1500
-        # -> ~23 GB across 64 layers at B=4), so flash's recompute IS the
-        # memory plan — keep it for Tq >= 512.
-        use_flash_here = self.use_flash and (deterministic or Tq >= 512)
+        # TRAINING keeps the einsum path at short T: even with the blockwise
+        # Pallas backward (ops/flash_attention._flash_backward — no HBM probs
+        # in either direction), flash's bwd re-streams K/V and recomputes the
+        # score blocks, while XLA's einsum backward reuses the saved softmax
+        # intermediates that comfortably fit at short T — measured 12.07 vs
+        # 13.18 ms/step on the flagship WF-adapter fine-tune (B=16 x 10 s,
+        # T'=250). At long T the saved [B, H, T, T] probs explode
+        # quadratically (large-v3 30 s: T=1500 -> ~23 GB across 64 layers at
+        # B=4) and flash wins outright: 16.17 vs 17.31 ms fwd+bwd at
+        # B=4 x T=1500 x H20/dh64 (r4 A/B on the v5e). The crossover is a
+        # config knob (flash_train_min_q) so deployments can re-tune it.
+        use_flash_here = self.use_flash and (
+            deterministic or Tq >= self.flash_train_min_q
+        )
         if (
             use_flash_here
             and dh % 128 == 0
@@ -463,6 +472,7 @@ class TransformerBlock(nn.Module):
     use_flash: bool = False
     cross_attention: bool = False
     gelu_form: str = "erf"  # see MLP.gelu_form
+    flash_train_min_q: int = 512  # see MultiHeadAttention.flash_train_min_q
 
     @nn.compact
     def __call__(
@@ -642,6 +652,7 @@ class TransformerBlock(nn.Module):
                 self.dropout,
                 self.adapter,
                 self.use_flash,
+                flash_train_min_q=self.flash_train_min_q,
                 name="self_attn",
             )(h, mask=mask, deterministic=deterministic, kv_cache=self_cache,
               cache_index=cache_index, kv_lengths=kv_lengths)
@@ -670,6 +681,7 @@ class TransformerBlock(nn.Module):
                 self.dropout,
                 self.adapter,
                 self.use_flash,
+                flash_train_min_q=self.flash_train_min_q,
                 name="cross_attn",
             )(h, kv=enc, mask=enc_mask, deterministic=deterministic,
               kv_cache=cross_cache, kv_lengths=enc_kv_lengths)

@@ -110,7 +110,8 @@ class WhisperEncoder(nn.Module):
         for i in range(cfg.encoder_layers):
             x = TransformerBlock(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
-                ad, cfg.use_flash_attention, name=f"block_{i}",
+                ad, cfg.use_flash_attention,
+                flash_train_min_q=cfg.flash_train_min_q, name=f"block_{i}",
             )(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="ln_post")(x)
 
@@ -134,7 +135,8 @@ class WhisperDecoder(nn.Module):
         self.blocks = [
             TransformerBlock(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
-                ad, cfg.use_flash_attention, cross_attention=True, name=f"block_{i}",
+                ad, cfg.use_flash_attention, cross_attention=True,
+                flash_train_min_q=cfg.flash_train_min_q, name=f"block_{i}",
             )
             for i in range(cfg.decoder_layers)
         ]

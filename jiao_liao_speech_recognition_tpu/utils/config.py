@@ -124,6 +124,12 @@ class CTCModelConfig:
     max_frames: int = 3000
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     use_flash_attention: bool = True
+    # smallest Tq at which TRAINING attention routes to the Pallas flash
+    # kernels (inference always does when eligible): XLA's einsum backward
+    # reuses saved softmax intermediates and wins at short T; flash's
+    # blockwise Pallas backward wins once the saved [B,H,T,T] probs get
+    # large (measured crossover near T~512 on the v5e; see models/layers.py)
+    flash_train_min_q: int = 512
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     # MLP activation: 'tanh' (tanh-form GELU — the fused TPU kernel computes
     # the SAME form, so TPU-fused and CPU-module paths agree in intent, and
@@ -164,6 +170,7 @@ class WhisperConfig:
     dropout: float = 0.0
     dtype: str = "bfloat16"
     use_flash_attention: bool = True
+    flash_train_min_q: int = 512  # see CTCModelConfig.flash_train_min_q
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
     # decode special tokens; prompt_ids=() -> standard Whisper zh-transcribe
     # prompt (decode/whisper_generate.default_prompt), eot_id<0 -> standard EOT
@@ -203,6 +210,7 @@ class JointModelConfig:
     max_target_positions: int = 448
     dtype: str = "bfloat16"
     use_flash_attention: bool = True
+    flash_train_min_q: int = 512  # see CTCModelConfig.flash_train_min_q
     remat: bool = False
     gelu_form: str = "tanh"  # see CTCModelConfig.gelu_form
     # encoder streaming-matched training knobs; see CTCModelConfig

@@ -368,3 +368,46 @@ def test_flash_backward_lowering():
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=3e-2, rtol=3e-2,
             )
+
+
+def test_flash_train_gate_threshold():
+    """The flash_train_min_q config knob controls whether TRAINING
+    (deterministic=False) attention lowers to the Pallas flash kernel:
+    Tq >= threshold -> Mosaic custom_call in the HLO, Tq < threshold ->
+    pure-XLA einsum backward (saved softmax intermediates). Pins the
+    r4 crossover gate (models/layers.py use_flash_here)."""
+    _require_tpu()
+    import flax.linen as nn
+
+    from jiao_liao_speech_recognition_tpu.models.layers import (
+        MultiHeadAttention,
+    )
+
+    d, H = 256, 2  # dh=128: packed fast path
+    rng = np.random.RandomState(3)
+
+    def lowered_text(T, min_q):
+        mha = MultiHeadAttention(
+            num_heads=H, d_model=d, dropout=0.1, use_flash=True,
+            flash_train_min_q=min_q,
+        )
+        x = _rand(rng, 2, T, d).astype(jnp.bfloat16)
+        params = mha.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, deterministic=False,
+        )
+
+        def step(p, x):
+            out = mha.apply(
+                p, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(out.astype(jnp.float32))
+
+        g = jax.grad(step, argnums=1)
+        return jax.jit(g).lower(params, x).as_text()
+
+    # above threshold: flash (Mosaic kernel) in fwd AND Pallas backward
+    assert "tpu_custom_call" in lowered_text(256, min_q=128)
+    # below threshold: einsum path, no Pallas anywhere in the train step
+    assert "tpu_custom_call" not in lowered_text(256, min_q=512)
