@@ -1,6 +1,7 @@
 """Whisper-large-v3 scale proof (SURVEY §7 hard-part 5; BASELINE configs[4]).
 
-Two modes:
+Modes (see also --mode train30: adapter fine-tune at the production 30 s
+window, where the blockwise Pallas flash backward is the memory plan):
 
   --mode cpu8   Random-init the REAL large-v3 shape (d=1280, 32+32 layers,
                 128 mels, ~1.55 B params), shard it DP(2) x FSDP(2) x TP(2)
@@ -314,17 +315,93 @@ def run_timed(batch: int = 4, max_len: int = 32) -> None:
     }), flush=True)
 
 
+def run_train30(batch: int = 4, flash_train_min_q: int = 512,
+                remat: bool = False) -> None:
+    """WF-adapter fine-tune at the PRODUCTION 30 s window (T=1500) on one
+    chip. Training self-attention routes through the blockwise Pallas flash
+    backward (flash_train_min_q <= 1500): no [B, H, T, T] probs in HBM in
+    either direction. The einsum path's saved probs are ~0.7 GB/layer at
+    B=4 (4*20*1500^2 f32) — it still fits, but only because XLA's
+    HBM-pressure rematerializer compresses/recomputes activations, and it
+    runs ~6% slower (--flash-train-min-q 100000 to reproduce: 2.12 vs
+    2.26 steps/s at B=4). r4 measured: B=4 -> 2.26 steps/s
+    (271 audio-sec/s), no OOM; B=8 exhausts HBM unless whisper.remat=true
+    (then 0.847 steps/s — remat pays ~2x forward, B=4 stays optimal)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jl_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.models.bundle import ModelBundle
+    from jiao_liao_speech_recognition_tpu.train.engine import (
+        build_train_setup,
+        init_state,
+    )
+
+    cfg = _large_v3_config()
+    cfg.whisper = dataclasses.replace(
+        cfg.whisper, flash_train_min_q=flash_train_min_q, remat=remat
+    )
+    params = ModelBundle._init_params(cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    _, _, tx, jitted_step = build_train_setup(cfg, params)
+    state = init_state(cfg, tx, params)
+
+    secs = 30.0
+    samples = int(secs * cfg.frontend.sample_rate)
+    rng = np.random.RandomState(0)
+    S = 48
+    toks = rng.randint(0, 51000, (batch, S)).astype(np.int32)
+    batches = []
+    for _ in range(2):
+        batches.append({
+            "audio": jnp.asarray(
+                rng.randn(batch, samples).astype(np.float32) * 0.1
+            ),
+            "audio_lengths": jnp.full((batch,), samples, jnp.int32),
+            "labels": jnp.asarray(toks),
+            "label_lengths": jnp.full((batch,), S, jnp.int32),
+            "tokens": jnp.asarray(toks),
+            "targets": jnp.asarray(np.roll(toks, -1, 1)),
+        })
+    for b in batches:
+        state, metrics = jitted_step(state, b)
+        _ = float(metrics["loss"])
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = jitted_step(state, batches[i % len(batches)])
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "mode": "train30", "metric": "large_v3_train30_steps_per_sec",
+        "batch": batch, "flash_train_min_q": flash_train_min_q,
+        "remat": remat,
+        "value": round(iters / dt, 3),
+        "audio_sec_per_sec": round(iters / dt * batch * secs, 1),
+    }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["cpu8", "tpu", "timed"], required=True)
+    ap.add_argument(
+        "--mode", choices=["cpu8", "tpu", "timed", "train30"], required=True
+    )
     ap.add_argument("--enc-batch", type=int, default=16)
     ap.add_argument("--dec-batch", type=int, default=8)
     ap.add_argument("--max-len", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--flash-train-min-q", type=int, default=512)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
     if args.mode == "cpu8":
         run_cpu8()
     elif args.mode == "timed":
         run_timed(max_len=args.max_len)
+    elif args.mode == "train30":
+        run_train30(args.batch, args.flash_train_min_q, args.remat)
     else:
         run_tpu(args.enc_batch, args.dec_batch, args.max_len)
 

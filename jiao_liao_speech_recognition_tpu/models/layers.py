@@ -397,10 +397,12 @@ class MultiHeadAttention(nn.Module):
         # intermediates that comfortably fit at short T — measured 12.07 vs
         # 13.18 ms/step on the flagship WF-adapter fine-tune (B=16 x 10 s,
         # T'=250). At long T the saved [B, H, T, T] probs explode
-        # quadratically (large-v3 30 s: T=1500 -> ~23 GB across 64 layers at
-        # B=4) and flash wins outright: 16.17 vs 17.31 ms fwd+bwd at
-        # B=4 x T=1500 x H20/dh64 (r4 A/B on the v5e). The crossover is a
-        # config knob (flash_train_min_q) so deployments can re-tune it.
+        # quadratically (large-v3 30 s: T=1500 -> ~0.7 GB/layer at B=4) and
+        # flash wins: 16.17 vs 17.31 ms fwd+bwd at B=4 x T=1500 x H20/dh64,
+        # and 2.26 vs 2.12 steps/s on the full large-v3 30 s fine-tune —
+        # where the einsum path only fits at all because XLA's HBM-pressure
+        # rematerializer starts compressing/recomputing activations. The
+        # crossover is a config knob (flash_train_min_q) for re-tuning.
         use_flash_here = self.use_flash and (
             deterministic or Tq >= self.flash_train_min_q
         )

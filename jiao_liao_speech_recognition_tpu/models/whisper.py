@@ -107,12 +107,25 @@ class WhisperEncoder(nn.Module):
             )
         x = x + sinusoidal_positions(t, cfg.d_model, dtype)[None]
         ad = cfg.adapter if cfg.adapter.kind != "none" else None
+        block = TransformerBlock
+        if cfg.remat:
+            # rematerialize each encoder block on the backward pass: at the
+            # 30 s window (T=1500) the per-block activations are ~150 MB at
+            # B=8 x d=1280 — without this, B=8 fine-tuning exhausts HBM
+            # even with flash attention (r4 measured). static_argnums match
+            # ctc_model.py's positional-call protocol.
+            block = nn.remat(TransformerBlock, static_argnums=(5, 9))
         for i in range(cfg.encoder_layers):
-            x = TransformerBlock(
+            layer = block(
                 cfg.d_model, cfg.num_heads, cfg.mlp_dim, dtype, cfg.dropout,
                 ad, cfg.use_flash_attention,
                 flash_train_min_q=cfg.flash_train_min_q, name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )
+            # positional call keeps nn.remat static_argnums stable
+            x = layer(
+                x, None, None, None, deterministic, None, None, None, False,
+                None, None,
+            )
         return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="ln_post")(x)
 
 

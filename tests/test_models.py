@@ -225,3 +225,40 @@ def test_whisper_decode_step_att_adapter_head_major(monkeypatch):
         )
         err = np.abs(np.asarray(step_logits) - np.asarray(full[:, p])).max()
         assert err < 1e-3, (p, err)
+
+
+def test_whisper_remat_matches_no_remat():
+    """WhisperConfig.remat (nn.remat each ENCODER block — the 30 s window's
+    memory plan at B>=8, docs/PERFORMANCE.md) must not change loss or
+    grads. Guards the r4 fix: the flag used to be silently ignored by
+    WhisperEncoder."""
+    import dataclasses
+
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 80, 100))
+    toks = jnp.asarray([[5, 9, 17, 3], [2, 8, 1, 6]], jnp.int32)
+
+    outs = []
+    for remat in (False, True):
+        cfg = dataclasses.replace(WTINY, remat=remat, dropout=0.1)
+        model = WhisperModel(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(2)},
+            mel, toks, deterministic=False,
+        )
+
+        def loss(v):
+            lg = model.apply(
+                v, mel, toks, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            )
+            return jnp.sum(lg.astype(jnp.float32) ** 2)
+
+        outs.append((float(loss(variables)), jax.grad(loss)(variables)))
+
+    (l0, g0), (l1, g1) = outs
+    assert abs(l0 - l1) < 1e-4 * max(1.0, abs(l0))
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), g0, g1
+    )
+    rel = max(jax.tree_util.tree_leaves(d))
+    assert rel < 1e-2, rel
