@@ -712,7 +712,11 @@ def bench_large_v3_decode() -> dict:
     }
 
 
-def main() -> None:
+_RESULT_MARK = "JL_SECTION_RESULT:"
+
+
+def _setup() -> None:
+    """Per-process jax + native setup shared by section children."""
     import jax
 
     # persistent XLA compile cache: repeat bench runs skip the ~1 min compile
@@ -729,29 +733,65 @@ def main() -> None:
             "report null beam_rtfx\n"
         )
 
+
+def _run_section_child(name: str) -> None:
+    """Child mode (`bench.py --section NAME`): run ONE section in a fresh
+    process and print its JSON result behind a marker line."""
+    _setup()
+    result = globals()[name]()
+    print(_RESULT_MARK + json.dumps(result), flush=True)
+
+
+def main() -> None:
     args = set(sys.argv[1:])
 
     def section(fn, enabled=True, timeout_s=1500):
-        """Fault-isolated section: an exception OR a hang (e.g. a wedged
-        remote-relay compile) nulls this section's field instead of killing
-        the whole JSON line."""
+        """Fault-isolated section: run it in a SUBPROCESS. A crash, a device
+        OOM, or a hang (a wedged remote-relay compile sits inside native
+        gRPC where an in-process SIGALRM handler never fires) nulls this
+        section's fields instead of killing the whole JSON line — and the
+        process exit returns every device buffer the section allocated
+        before the next section starts. (A full in-process run was observed
+        to cascade RESOURCE_EXHAUSTED from the bucketed section onward:
+        earlier sections' buffers, pinned by jit caches, fragment the 16 GB
+        HBM that the large-v3 sections then need whole.)"""
         if not enabled:
             return None
-        import signal
-
-        def _alarm(signum, frame):
-            raise TimeoutError(f"section exceeded {timeout_s}s")
-
-        old = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(timeout_s)
-        try:
-            return fn()
-        except Exception as e:  # keep the JSON line alive; surface on stderr
-            sys.stderr.write(f"bench section {fn.__name__} failed: {e}\n")
-            return None
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+        name = fn.__name__
+        for attempt in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--section", name],
+                    capture_output=True,
+                    text=True,
+                    timeout=timeout_s,
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(
+                    f"bench section {name} timed out ({timeout_s}s)\n"
+                )
+                return None
+            for line in r.stdout.splitlines():
+                if line.startswith(_RESULT_MARK):
+                    return json.loads(line[len(_RESULT_MARK):])
+            sys.stderr.write(
+                f"bench section {name} failed (rc={r.returncode}):\n"
+                + r.stderr[-1500:]
+                + "\n"
+            )
+            # the relay reclaims a disconnected client's pinned buffers
+            # LAZILY (observed: an 8 GB alloc fails right after a heavy
+            # client exits, succeeds minutes later) — give it one minute
+            # and retry once on device OOM
+            if attempt == 0 and "RESOURCE_EXHAUSTED" in r.stderr:
+                sys.stderr.write(
+                    f"bench section {name}: device OOM — retrying in 60 s\n"
+                )
+                time.sleep(60)
+            else:
+                return None
+        return None
 
     def _device_alive():
         """Probe the backend in a SUBPROCESS with a hard kill: a wedged
@@ -774,7 +814,7 @@ def main() -> None:
     # one cheap upfront probe: if the backend (e.g. the remote TPU relay) is
     # down, emit the JSON line with nulls in ~5 min instead of burning the
     # per-section timeout five times over
-    alive = bool(section(_device_alive, timeout_s=330))
+    alive = _device_alive()  # already subprocess-isolated with a hard kill
     rtfx = section(bench_rtfx, alive)
     beam = section(bench_beam_rtfx, alive and "--no-beam" not in args) or {}
     bucketed = (
@@ -823,4 +863,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        _run_section_child(sys.argv[2])
+    else:
+        main()
