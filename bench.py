@@ -3,31 +3,44 @@ wall-clock second per chip) on the flagship transformer-CTC model, plus the
 BASELINE-tracked adapter fine-tune steps/sec, the prefix-beam decode RTFx
 (BASELINE configs[1] as written), a bucketed mixed-length RTFx through the
 production BatchIterator (padding waste + text materialization included),
-and the TPU-fused vs CPU-module greedy TEXT parity proof.
+the TPU-fused vs CPU-module greedy TEXT parity proof, the whisper-large-v3
+family (configs[4]), and a time-boxed on-chip kernel-lowering tier.
 
 Inference pipeline measured end-to-end on device: raw waveform batch ->
 fused log-mel frontend -> conv-subsampled transformer encoder -> CTC decode.
 Training: the production jitted step (frozen backbone + WF adapters,
 on-device featurize + SpecAugment + CTC loss) at batch 16 x 10 s.
 
-Prints ONE JSON line:
+Output contract (r4 postmortem — the round scored null because the JSON was
+printed only once, at the very end, and a mid-run OOM lost every completed
+section): the CUMULATIVE JSON line is printed after EVERY section completes
+(same schema throughout, nulls for not-yet-run fields), so the driver's
+last-parseable-line always reflects the furthest point reached. Final line:
   {"metric": "rtfx", "value": N, "unit": "audio_sec_per_sec_per_chip",
    "vs_baseline": N, "beam_rtfx": N, "beam_rtfx_pruned": N,
    "beam_prune_text_equal": bool, "bucketed_rtfx": N,
    "bucketed_device_rtfx": N, "adapter_finetune_steps_per_sec": N,
    "parity_ok": bool, "large_v3_adapter_steps_per_sec": N,
-   "large_v3_decode_tok_s": N, ...}
+   "large_v3_decode_tok_s": N, "tpu_tier_ok": bool, ...}
 vs_baseline is measured RTFx / 200 (the driver-set >=200x real-time target,
 BASELINE.md; the reference publishes no throughput numbers).
 
-The whisper-large-v3 family (adapter fine-tune steps/s at B=4 x 8 s; int8
-serving decode tok/s at B=8; peak HBM for both) runs in the DEFAULT bench
-so configs[4] gets per-round regression tracking (several minutes: 3.1 GB
-bf16 weights + compile). Skip with --no-large.
+Robustness machinery (each section runs in its own subprocess):
+- global deadline: --deadline-s N (or JL_BENCH_DEADLINE_S, default 2400 s).
+  Each remaining section's subprocess timeout shrinks to the remaining
+  budget; sections are skipped (and listed in "sections_skipped") when the
+  budget runs dry.
+- device OOM: the remote relay reclaims a dead client's pinned HBM buffers
+  LAZILY (an 8 GB alloc fails right after a heavy client exits, succeeds
+  minutes later). On a RESOURCE_EXHAUSTED in a section's stderr TAIL, a
+  1 GiB allocate-probe loop with exponential backoff waits for the reclaim,
+  then the section retries once.
+- failure injection (tested in tests/test_bench_orchestration.py):
+  JL_BENCH_INDUCE_FAIL="<section>:<oom|timeout|crash>" makes that section's
+  child fail artificially; JL_BENCH_ONLY="a,b" restricts the section list.
 
-Flags: --no-parity / --no-beam / --no-bucketed / --no-large skip sections.
-Each section is fault-isolated: a failure or hang nulls its fields rather
-than killing the line.
+Flags: --no-parity / --no-beam / --no-bucketed / --no-large / --no-tpu-tier
+skip sections; --deadline-s N sets the global budget.
 """
 
 from __future__ import annotations
@@ -73,7 +86,7 @@ def _init_flagship_params(model, fe, seed: int = 0):
     )["params"]
 
 
-def bench_rtfx() -> float:
+def bench_rtfx() -> dict:
     """Headline greedy RTFx: fused frontend + encoder + fused head/argmax +
     on-device collapse, batch 128 x 30 s, two buffers in flight."""
     import jax
@@ -120,7 +133,8 @@ def bench_rtfx() -> float:
         prev = n
     _ = int(np.asarray(prev).sum())
     dt = time.perf_counter() - t0
-    return secs * batch * iters / dt
+    rtfx = secs * batch * iters / dt
+    return {"value": round(rtfx, 2), "vs_baseline": round(rtfx / 200.0, 3)}
 
 
 def bench_beam_rtfx() -> dict:
@@ -219,8 +233,10 @@ _BENCH_CORPUS = os.path.join(tempfile.gettempdir(), "jl_bench_corpus")
 
 
 def _ensure_bucketed_corpus(n_utts: int = 256, seed: int = 3):
-    """Synthetic mixed-length corpus on disk (cached across runs): durations
-    drawn from a realistic right-skewed distribution over (3, 30] seconds."""
+    """Synthetic mixed-length corpus on disk (cached across runs AND across
+    section subprocesses/rounds — retries don't re-pay generation time):
+    durations drawn from a realistic right-skewed distribution over
+    (3, 30] seconds."""
     from jiao_liao_speech_recognition_tpu.data import ManifestRow, write_manifest
     from jiao_liao_speech_recognition_tpu.frontend.audio_io import write_wav
 
@@ -347,46 +363,117 @@ def bench_bucketed_rtfx() -> dict:
     pipeline_rtfx = spoken / dt
 
     # --- device-resident replay of the same epoch (chip-honest number) ---
-    # pre-upload every batch (distinct buffers, each warmed by the epochs
-    # above via identical shapes), then time the pure infer chain with one
-    # hard sync at the end: dispatches pipeline, the relay link and host
-    # text work are out of the window.
-    dev_batches = []
-    dev_spoken = 0.0
-    for b in BatchIterator(
-        manifest, tok, data_cfg, drop_last=False, process_index=0, process_count=1
-    ):
-        dev_batches.append(
-            (jnp.asarray(b.audio), jnp.asarray(b.audio_lengths))
+    # r4 postmortem: uploading the ENTIRE epoch as permanently-resident
+    # buffers (on top of the pipeline epochs' allocations) OOMed the HBM
+    # and nulled the whole round. The replay now runs in WAVES sized to an
+    # HBM budget read from memory_stats(): each wave uploads <= K batches
+    # (distinct buffers), warms each once, times the pure dispatch chain
+    # with ONE hard sync, then DELETES the wave's buffers before the next
+    # upload. Semantics preserved per wave: distinct warmed buffers, no
+    # host decode / relay transfer / text work inside any timed window;
+    # bucketed_device_rtfx = total spoken seconds / sum of timed windows.
+    host_batches = [
+        (b.audio, b.audio_lengths)
+        for b in BatchIterator(
+            manifest, tok, data_cfg, drop_last=False,
+            process_index=0, process_count=1,
         )
-        dev_spoken += float(np.sum(b.audio_lengths)) / fe.sample_rate
-    jax.block_until_ready(dev_batches)
-    for a, l in dev_batches:  # warm every resident buffer
-        out = infer(params, a, l)
-        _ = int(np.asarray(out[1]).sum())
-    t0 = time.perf_counter()
-    outs = [infer(params, a, l) for a, l in dev_batches]
-    total = int(np.asarray(sum(jnp.sum(o[1]) for o in outs)))  # hard sync
-    dt_dev = time.perf_counter() - t0
-    assert total >= 0
+    ]
+    dev_spoken = sum(
+        float(np.sum(lens)) / fe.sample_rate for _, lens in host_batches
+    )
+    per_batch_bytes = max(a.nbytes + lens.nbytes for a, lens in host_batches)
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        free = int(st.get("bytes_limit", 16 << 30)) - int(
+            st.get("bytes_in_use", 0)
+        )
+    except Exception:
+        free = 4 << 30
+    # resident cost per batch ~= inputs + argmax ids; 8x headroom covers
+    # outputs, dequantized copies, and transient activations of the one
+    # in-flight execution
+    wave_budget = max(min(free // 4, 2 << 30), 256 << 20)
+    K = int(np.clip(wave_budget // (per_batch_bytes * 8), 2, 16))
+
+    dt_dev = 0.0
+    for w0 in range(0, len(host_batches), K):
+        wave = [
+            (jnp.asarray(a), jnp.asarray(lens))
+            for a, lens in host_batches[w0 : w0 + K]
+        ]
+        jax.block_until_ready(wave)
+        for a, l in wave:  # warm every resident buffer (distinct dispatches)
+            out = infer(params, a, l)
+            _ = int(np.asarray(out[1]).sum())
+            for o in out:
+                o.delete()
+        t0 = time.perf_counter()
+        outs = [infer(params, a, l) for a, l in wave]
+        total = int(np.asarray(sum(jnp.sum(o[1]) for o in outs)))  # hard sync
+        dt_dev += time.perf_counter() - t0
+        assert total >= 0
+        for (a, l), (ids, n) in zip(wave, outs):
+            a.delete(); l.delete(); ids.delete(); n.delete()
     return {
         "bucketed_rtfx": round(pipeline_rtfx, 2),
         "bucketed_device_rtfx": round(dev_spoken / dt_dev, 2),
+        "bucketed_wave_batches": K,
     }
 
 
-_OVERFIT_CACHE: dict = {}
+_OVERFIT_DIR = os.path.join(tempfile.gettempdir(), "jl_bench_overfit")
+_PARAM_KEY_SEP = "\x1f"
 
 
 def _overfit_flagship(n_utts: int = 64, secs: float = 8.0, steps: int = 150):
     """Overfit the flagship on synthetic utterances -> (params, wavs,
     lengths). Shared by the parity proof and the beam bench: a trained model
     emits PEAKED, blank-dominated posteriors — the regime deployed CTC
-    models decode in — unlike random init's near-uniform rows. Cached per
-    bench invocation so the two sections train once."""
-    key = (n_utts, secs, steps)
-    if key in _OVERFIT_CACHE:
-        return _OVERFIT_CACHE[key]
+    models decode in — unlike random init's near-uniform rows.
+
+    The trained params are cached ON DISK, content-addressed by the recipe
+    (sections run in separate subprocesses, so an in-memory cache never
+    hits): the beam section trains once, the parity section and every
+    retry/rerun reload in seconds."""
+    import jax.numpy as jnp
+
+    from jiao_liao_speech_recognition_tpu.models.ctc_model import CTCEncoderModel  # noqa: F401
+
+    model, cfg, fe = _flagship()
+    samples = int(secs * fe.sample_rate)
+    rng = np.random.RandomState(11)
+    wavs = rng.randn(n_utts, samples).astype(np.float32) * 0.1
+    lengths = np.full((n_utts,), samples, np.int32)
+
+    cache = os.path.join(
+        _OVERFIT_DIR,
+        f"overfit_v1_{n_utts}_{secs}_{steps}_{cfg.vocab_size}.npz",
+    )
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            flat = {tuple(k.split(_PARAM_KEY_SEP)): z[k] for k in z.files}
+        params = _unflatten_params(
+            {k: jnp.asarray(v) for k, v in flat.items()}
+        )
+        return params, wavs, lengths
+
+    params = _train_overfit(model, cfg, fe, wavs, n_utts, samples, steps)
+
+    os.makedirs(_OVERFIT_DIR, exist_ok=True)
+    tmp = cache + f".tmp{os.getpid()}.npz"  # np.savez appends .npz itself
+    np.savez(
+        tmp,
+        **{
+            _PARAM_KEY_SEP.join(k): np.asarray(v)
+            for k, v in _flatten_params(params).items()
+        },
+    )
+    os.replace(tmp, cache)  # atomic: concurrent sections race safely
+    return params, wavs, lengths
+
+
+def _train_overfit(model, cfg, fe, wavs, n_utts, samples, steps):
     import jax
     import jax.numpy as jnp
     import optax
@@ -394,13 +481,9 @@ def _overfit_flagship(n_utts: int = 64, secs: float = 8.0, steps: int = 150):
     from jiao_liao_speech_recognition_tpu.frontend.features import featurize_batch
     from jiao_liao_speech_recognition_tpu.ops.ctc_loss import ctc_loss
 
-    model, cfg, fe = _flagship()
-    samples = int(secs * fe.sample_rate)
     rng = np.random.RandomState(11)
-    wavs = rng.randn(n_utts, samples).astype(np.float32) * 0.1
     label_len = 6
     labels = rng.randint(1, cfg.vocab_size, (n_utts, label_len)).astype(np.int32)
-    lengths = np.full((n_utts,), samples, np.int32)
 
     params = _init_flagship_params(model, fe, seed=1)
     tx = optax.adam(3e-4)
@@ -432,11 +515,10 @@ def _overfit_flagship(n_utts: int = 64, secs: float = 8.0, steps: int = 150):
             params, opt_state, wavs_d[i : i + B], labels_d[i : i + B]
         )
     _ = float(loss)
-    _OVERFIT_CACHE[key] = (params, wavs, lengths)
-    return _OVERFIT_CACHE[key]
+    return params
 
 
-def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
+def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> dict:
     """BASELINE 'decode text parity (greedy), bit-for-bit at text level,
     TPU & CPU-JAX path': overfit the flagship on synthetic utterances, then
     transcribe them (a) on the TPU with every fused kernel engaged and
@@ -468,7 +550,9 @@ def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
         " ".join(str(int(t)) for t in row[: int(n)]) for row, n in zip(ids, lens)
     ]
 
-    # CPU-JAX module path in a subprocess (this process's backend is pinned)
+    # CPU-JAX module path in a subprocess (this process's backend is pinned);
+    # its timeout respects the section budget handed down by the orchestrator
+    budget = float(os.environ.get("JL_BENCH_SECTION_BUDGET_S", "900"))
     with tempfile.TemporaryDirectory() as td:
         np.savez(
             os.path.join(td, "parity.npz"),
@@ -483,7 +567,7 @@ def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                           "bench_parity_cpu.py"),
              os.path.join(td, "parity.npz"), str(cfg.vocab_size)],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=max(120, budget - 60),
         )
         if out.returncode != 0:
             raise RuntimeError(f"cpu parity child failed:\n{out.stderr[-2000:]}")
@@ -496,7 +580,7 @@ def bench_parity(n_utts: int = 64, secs: float = 8.0, steps: int = 150) -> bool:
             f"(first: {mismatches[0]}: tpu={tpu_texts[mismatches[0]]!r} "
             f"cpu={cpu_texts[mismatches[0]]!r})\n"
         )
-    return not mismatches
+    return {"parity_ok": not mismatches}
 
 
 def _flatten_params(params):
@@ -510,7 +594,18 @@ def _flatten_params(params):
     return out
 
 
-def bench_adapter_finetune() -> float:
+def _unflatten_params(flat: dict) -> dict:
+    """Inverse of _flatten_params for plain nested-dict param trees."""
+    root: dict = {}
+    for keys, leaf in flat.items():
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = leaf
+    return root
+
+
+def bench_adapter_finetune() -> dict:
     """Adapter fine-tune steps/sec (BASELINE tracked metric): the production
     jitted train step on the flagship CTC model with WF adapters + frozen
     backbone, batch 16 x 10 s. Distinct input batches per step; the step->
@@ -569,13 +664,13 @@ def bench_adapter_finetune() -> float:
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
     assert np.isfinite(float(metrics["loss"]))
-    return iters / dt
+    return {"adapter_finetune_steps_per_sec": round(iters / dt, 2)}
 
 
 def bench_large_v3_adapter() -> dict:
     """whisper-large-v3 adapter fine-tune on ONE chip (BASELINE configs[4]
     stretch scale): bf16 backbone ~3.1 GB frozen + WF adapters trained,
-    B=4 x 8 s. Returns {steps_per_sec, peak_hbm_gb}."""
+    B=4 x 8 s. Returns the large_v3 train fields."""
     import jax
     import jax.numpy as jnp
 
@@ -631,7 +726,10 @@ def bench_large_v3_adapter() -> dict:
         peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
         pass
-    return {"steps_per_sec": round(iters / dt, 3), "peak_hbm_gb": peak}
+    return {
+        "large_v3_adapter_steps_per_sec": round(iters / dt, 3),
+        "large_v3_train_peak_hbm_gb": peak,
+    }
 
 
 def bench_large_v3_decode() -> dict:
@@ -706,13 +804,113 @@ def bench_large_v3_decode() -> dict:
         pass
     assert toks >= toks_per_iter
     return {
-        "tok_s": round(toks / dt, 1),
-        "decode_rtfx": round(secs * B * iters / dt, 1),
-        "peak_hbm_gb": peak,
+        "large_v3_decode_tok_s": round(toks / dt, 1),
+        "large_v3_decode_rtfx": round(secs * B * iters / dt, 1),
+        "large_v3_serve_peak_hbm_gb": peak,
     }
 
 
+def bench_tpu_tier() -> dict:
+    """On-chip kernel-lowering tier as a SCORED field (r4 verdict item 5):
+    a curated core of the `-m tpu` real-Mosaic-lowering parity tests runs
+    time-boxed inside the bench, so a Mosaic/XLA regression turns
+    tpu_tier_ok false in the round artifact instead of surfacing as a
+    bench-day surprise. The full tier stays available via
+    `JL_TPU_TESTS=1 pytest tests/ -m tpu` (tests/test_tpu_tier.py)."""
+    budget = float(os.environ.get("JL_BENCH_SECTION_BUDGET_S", "420"))
+    core = (
+        "fused_attention_sublayer_lowering or fused_ln_qkv or "
+        "(fused_ln_mlp_lowering and tanh) or flash_attention_packed or "
+        "fused_head_argmax or grouped_decode_attention or "
+        "pallas_frontend or flash_backward"
+    )
+    env = dict(os.environ)
+    env["JL_TPU_TESTS"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tests", "test_tpu_tier.py"),
+         "-q", "-p", "no:cacheprovider", "-k", core],
+        capture_output=True, text=True, env=env,
+        timeout=max(120, budget - 30),
+    )
+    import re
+
+    m = re.search(r"(\d+) passed", r.stdout)
+    passed = int(m.group(1)) if m else 0
+    if r.returncode != 0 or passed == 0:
+        sys.stderr.write(
+            f"tpu tier rc={r.returncode} passed={passed}:\n"
+            + r.stdout[-1500:] + "\n" + r.stderr[-500:] + "\n"
+        )
+    # ok requires real passes: an all-skipped run (e.g. backend not 'tpu')
+    # must not report green
+    return {"tpu_tier_ok": r.returncode == 0 and passed > 0,
+            "tpu_tier_passed": passed}
+
+
+# ---------------------------------------------------------------------------
+# test-only sections: exercise the orchestrator (subprocess isolation,
+# cumulative emission, deadline, OOM probe) without touching jax/the device.
+# Reachable only via JL_BENCH_ONLY (tests/test_bench_orchestration.py).
+# ---------------------------------------------------------------------------
+
+
+def bench_selftest_ok() -> dict:
+    return {"selftest_ok": 1.0}
+
+
+def bench_selftest_extra() -> dict:
+    return {"selftest_extra": 2.0}
+
+
 _RESULT_MARK = "JL_SECTION_RESULT:"
+
+# Section registry: subprocess timeout (shrunk to the remaining deadline at
+# dispatch), whether the section needs the device probe/_setup, and the CLI
+# flag that disables it. Order = execution order; fields land in the
+# cumulative JSON as each completes, so earlier = more likely recorded under
+# a tight driver budget.
+_SECTIONS: "list[tuple[str, dict]]" = [
+    ("bench_rtfx", dict(timeout=900, device=True, flag=None)),
+    ("bench_adapter_finetune", dict(timeout=700, device=True, flag=None)),
+    ("bench_beam_rtfx", dict(timeout=900, device=True, flag="--no-beam")),
+    ("bench_parity", dict(timeout=900, device=True, flag="--no-parity")),
+    ("bench_bucketed_rtfx", dict(timeout=900, device=True, flag="--no-bucketed")),
+    ("bench_large_v3_adapter", dict(timeout=900, device=True, flag="--no-large")),
+    ("bench_large_v3_decode", dict(timeout=900, device=True, flag="--no-large")),
+    ("bench_tpu_tier", dict(timeout=420, device=True, flag="--no-tpu-tier")),
+]
+_HIDDEN_SECTIONS = {
+    "bench_selftest_ok": dict(timeout=60, device=False, flag=None),
+    "bench_selftest_extra": dict(timeout=60, device=False, flag=None),
+}
+_ALL_SECTION_NAMES = {n for n, _ in _SECTIONS} | set(_HIDDEN_SECTIONS)
+
+# every field the driver may read, in schema order; each emission carries
+# ALL of them (nulls for not-yet-run sections)
+_SCHEMA = [
+    ("metric", "rtfx"),
+    ("value", None),
+    ("unit", "audio_sec_per_sec_per_chip"),
+    ("vs_baseline", None),
+    ("beam_rtfx", None),
+    ("beam_rtfx_pruned", None),
+    ("beam_prune_text_equal", None),
+    ("bucketed_rtfx", None),
+    ("bucketed_device_rtfx", None),
+    ("adapter_finetune_steps_per_sec", None),
+    ("parity_ok", None),
+    ("train_batch", 16),
+    ("train_secs_per_utt", 10.0),
+    ("large_v3_adapter_steps_per_sec", None),
+    ("large_v3_train_peak_hbm_gb", None),
+    ("large_v3_decode_tok_s", None),
+    ("large_v3_decode_rtfx", None),
+    ("large_v3_serve_peak_hbm_gb", None),
+    ("tpu_tier_ok", None),
+    ("tpu_tier_passed", None),
+]
 
 
 def _setup() -> None:
@@ -734,71 +932,193 @@ def _setup() -> None:
         )
 
 
+def _maybe_induce_failure(name: str) -> None:
+    """Test hook: JL_BENCH_INDUCE_FAIL='<section>:<oom|timeout|crash>' makes
+    this child fail artificially so the orchestrator's recovery machinery
+    (partial-JSON emission, OOM probe, timeout kill) is testable without a
+    real device fault."""
+    spec = os.environ.get("JL_BENCH_INDUCE_FAIL", "")
+    if not spec:
+        return
+    target, _, mode = spec.partition(":")
+    if target != name:
+        return
+    if mode == "timeout":
+        time.sleep(100000)
+    if mode == "oom":
+        sys.stderr.write(
+            "jax.errors.JaxRuntimeError: RESOURCE_EXHAUSTED: "
+            "TPU backend error (ResourceExhausted). [induced]\n"
+        )
+    else:
+        sys.stderr.write(f"bench selftest: induced {mode or 'crash'}\n")
+    sys.exit(1)
+
+
 def _run_section_child(name: str) -> None:
     """Child mode (`bench.py --section NAME`): run ONE section in a fresh
-    process and print its JSON result behind a marker line."""
-    _setup()
+    process and print its JSON result behind a marker line. Only registered
+    section names dispatch (a typo'd or hostile name must not invoke an
+    arbitrary global)."""
+    if name not in _ALL_SECTION_NAMES:
+        sys.stderr.write(
+            f"bench: unknown section {name!r}; known: "
+            + ", ".join(sorted(_ALL_SECTION_NAMES)) + "\n"
+        )
+        sys.exit(2)
+    _maybe_induce_failure(name)
+    spec = dict(_SECTIONS).get(name) or _HIDDEN_SECTIONS[name]
+    if spec["device"]:
+        _setup()
     result = globals()[name]()
     print(_RESULT_MARK + json.dumps(result), flush=True)
 
 
-def main() -> None:
-    args = set(sys.argv[1:])
+def _stderr_tail_has_oom(stderr: str) -> bool:
+    """Device OOM detection on the error TAIL only: a warning that merely
+    mentions RESOURCE_EXHAUSTED mid-log must not trigger the (expensive)
+    reclaim-wait + section retry."""
+    tail = "\n".join(stderr.strip().splitlines()[-15:])
+    return "RESOURCE_EXHAUSTED" in tail
 
-    def section(fn, enabled=True, timeout_s=1500):
+
+def _wait_for_hbm_reclaim(max_wait_s: float) -> bool:
+    """The relay reclaims a dead client's pinned HBM buffers LAZILY (an
+    8 GB alloc fails right after a heavy client exits, succeeds minutes
+    later — r4 scored null partly because a fixed 60 s sleep wasn't
+    enough). Probe with a 1 GiB device allocation in a fresh subprocess,
+    exponential backoff, until it succeeds or the budget runs dry."""
+    probe_mb = int(os.environ.get("JL_BENCH_PROBE_MB", "1024"))
+    backoffs = [
+        float(x)
+        for x in os.environ.get(
+            "JL_BENCH_OOM_BACKOFF", "15,30,60,120,240"
+        ).split(",")
+    ]
+    n_floats = max(probe_mb, 1) * (1 << 20) // 4
+    code = (
+        "import numpy as np, jax;"
+        f"x = jax.device_put(np.ones(({n_floats},), np.float32));"
+        "x.block_until_ready(); print('HBM_OK')"
+    )
+    waited = 0.0
+    for b in backoffs:
+        if waited + b > max_wait_s:
+            return False
+        time.sleep(b)
+        waited += b
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=180,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        if "HBM_OK" in r.stdout:
+            sys.stderr.write(
+                f"bench: HBM probe succeeded after {waited:.0f} s\n"
+            )
+            return True
+        sys.stderr.write(
+            f"bench: HBM probe still failing after {waited:.0f} s\n"
+        )
+    return False
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    args = set(a for a in argv if not a.startswith("--deadline-s"))
+    deadline_s = float(os.environ.get("JL_BENCH_DEADLINE_S", "2400"))
+    for i, a in enumerate(argv):
+        if a == "--deadline-s" and i + 1 < len(argv):
+            deadline_s = float(argv[i + 1])
+        elif a.startswith("--deadline-s="):
+            deadline_s = float(a.split("=", 1)[1])
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return deadline_s - (time.monotonic() - t_start)
+
+    out = dict(_SCHEMA)
+    out["deadline_s"] = deadline_s
+    out["sections_skipped"] = []
+
+    def emit() -> None:
+        out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(out), flush=True)
+
+    only = os.environ.get("JL_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        sections = [
+            (n, dict(_SECTIONS).get(n) or _HIDDEN_SECTIONS[n]) for n in names
+        ]
+    else:
+        sections = list(_SECTIONS)
+    timeout_override = os.environ.get("JL_BENCH_TIMEOUT_OVERRIDE_S")
+
+    def run_child(name: str, timeout_s: float):
+        env = dict(os.environ)
+        env["JL_BENCH_SECTION_BUDGET_S"] = str(int(timeout_s))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", name],
+                capture_output=True, text=True, timeout=timeout_s, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench section {name} timed out ({timeout_s:.0f}s)\n")
+            return None, ""
+        for line in r.stdout.splitlines():
+            if line.startswith(_RESULT_MARK):
+                return json.loads(line[len(_RESULT_MARK):]), r.stderr
+        sys.stderr.write(
+            f"bench section {name} failed (rc={r.returncode}):\n"
+            + r.stderr[-1500:] + "\n"
+        )
+        return None, r.stderr
+
+    def section(name: str, spec: dict) -> None:
         """Fault-isolated section: run it in a SUBPROCESS. A crash, a device
         OOM, or a hang (a wedged remote-relay compile sits inside native
         gRPC where an in-process SIGALRM handler never fires) nulls this
-        section's fields instead of killing the whole JSON line — and the
-        process exit returns every device buffer the section allocated
-        before the next section starts. (A full in-process run was observed
-        to cascade RESOURCE_EXHAUSTED from the bucketed section onward:
-        earlier sections' buffers, pinned by jit caches, fragment the 16 GB
-        HBM that the large-v3 sections then need whole.)"""
-        if not enabled:
-            return None
-        name = fn.__name__
+        section's fields instead of killing the JSON line — and the process
+        exit returns every device buffer the section allocated before the
+        next section starts. (An in-process multi-section run was observed
+        to cascade RESOURCE_EXHAUSTED from its third section onward.)"""
+        base_timeout = (
+            float(timeout_override) if timeout_override else spec["timeout"]
+        )
+        floor = 100 if spec["device"] else 2
         for attempt in range(2):
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--section", name],
-                    capture_output=True,
-                    text=True,
-                    timeout=timeout_s,
-                )
-            except subprocess.TimeoutExpired:
+            budget = min(base_timeout, remaining() - 45)
+            # skip on an exhausted DEADLINE (a deliberately small per-section
+            # timeout override must still dispatch)
+            if remaining() - 45 < floor or budget <= 0:
                 sys.stderr.write(
-                    f"bench section {name} timed out ({timeout_s}s)\n"
+                    f"bench section {name}: skipped "
+                    f"({remaining():.0f}s left of the {deadline_s:.0f}s deadline)\n"
                 )
-                return None
-            for line in r.stdout.splitlines():
-                if line.startswith(_RESULT_MARK):
-                    return json.loads(line[len(_RESULT_MARK):])
-            sys.stderr.write(
-                f"bench section {name} failed (rc={r.returncode}):\n"
-                + r.stderr[-1500:]
-                + "\n"
-            )
-            # the relay reclaims a disconnected client's pinned buffers
-            # LAZILY (observed: an 8 GB alloc fails right after a heavy
-            # client exits, succeeds minutes later) — give it one minute
-            # and retry once on device OOM
-            if attempt == 0 and "RESOURCE_EXHAUSTED" in r.stderr:
+                out["sections_skipped"].append(name)
+                return
+            result, stderr = run_child(name, budget)
+            if result is not None:
+                out.update(result)
+                return
+            if attempt == 0 and _stderr_tail_has_oom(stderr):
+                # wait for the relay's lazy reclaim before the one retry
+                probe_budget = min(480.0, max(0.0, remaining() - 150))
                 sys.stderr.write(
-                    f"bench section {name}: device OOM — retrying in 60 s\n"
+                    f"bench section {name}: device OOM — probing for HBM "
+                    f"reclaim (up to {probe_budget:.0f}s)\n"
                 )
-                time.sleep(60)
+                _wait_for_hbm_reclaim(probe_budget)
             else:
-                return None
-        return None
+                return
 
-    def _device_alive():
+    def device_alive() -> bool:
         """Probe the backend in a SUBPROCESS with a hard kill: a wedged
         remote-relay init hangs inside native gRPC where SIGALRM's Python
         handler can't run, so an in-process timeout never fires."""
-        import subprocess
-
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -811,55 +1131,25 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             return False
 
-    # one cheap upfront probe: if the backend (e.g. the remote TPU relay) is
-    # down, emit the JSON line with nulls in ~5 min instead of burning the
-    # per-section timeout five times over
-    alive = _device_alive()  # already subprocess-isolated with a hard kill
-    rtfx = section(bench_rtfx, alive)
-    beam = section(bench_beam_rtfx, alive and "--no-beam" not in args) or {}
-    bucketed = (
-        section(bench_bucketed_rtfx, alive and "--no-bucketed" not in args)
-        or {}
-    )
-    steps_per_sec = section(bench_adapter_finetune, alive)
-    parity = section(bench_parity, alive and "--no-parity" not in args)
-    # whisper-large-v3 family in the scored artifact (r3 verdict item 2):
-    # time-bounded, fault-isolated; skip with --no-large
-    run_large = alive and "--no-large" not in args
-    large_ft = section(bench_large_v3_adapter, run_large, timeout_s=1200)
-    large_dec = section(bench_large_v3_decode, run_large, timeout_s=1200)
+    emit()  # skeleton line first: even a probe-time crash leaves valid JSON
 
-    out = {
-        "metric": "rtfx",
-        "value": round(rtfx, 2) if rtfx else None,
-        "unit": "audio_sec_per_sec_per_chip",
-        "vs_baseline": round(rtfx / 200.0, 3) if rtfx else None,
-        "beam_rtfx": beam.get("beam_rtfx"),
-        "beam_rtfx_pruned": beam.get("beam_rtfx_pruned"),
-        "beam_prune_text_equal": beam.get("beam_prune_text_equal"),
-        "bucketed_rtfx": bucketed.get("bucketed_rtfx"),
-        "bucketed_device_rtfx": bucketed.get("bucketed_device_rtfx"),
-        "adapter_finetune_steps_per_sec": (
-            round(steps_per_sec, 2) if steps_per_sec else None
-        ),
-        "parity_ok": parity,
-        "train_batch": 16,
-        "train_secs_per_utt": 10.0,
-        "large_v3_adapter_steps_per_sec": (
-            large_ft.get("steps_per_sec") if large_ft else None
-        ),
-        "large_v3_train_peak_hbm_gb": (
-            large_ft.get("peak_hbm_gb") if large_ft else None
-        ),
-        "large_v3_decode_tok_s": large_dec.get("tok_s") if large_dec else None,
-        "large_v3_decode_rtfx": (
-            large_dec.get("decode_rtfx") if large_dec else None
-        ),
-        "large_v3_serve_peak_hbm_gb": (
-            large_dec.get("peak_hbm_gb") if large_dec else None
-        ),
-    }
-    print(json.dumps(out))
+    # one cheap upfront probe: if the backend (e.g. the remote TPU relay) is
+    # down, emit the null line in ~5 min instead of burning every section's
+    # timeout in turn
+    alive = True
+    if any(spec["device"] for _, spec in sections):
+        alive = device_alive()
+        if not alive:
+            sys.stderr.write("bench: device probe failed; device sections skipped\n")
+
+    for name, spec in sections:
+        if spec.get("flag") and spec["flag"] in args:
+            continue
+        if spec["device"] and not alive:
+            out["sections_skipped"].append(name)
+            continue
+        section(name, spec)
+        emit()  # cumulative line after EVERY section (r4 verdict item 1a)
 
 
 if __name__ == "__main__":
