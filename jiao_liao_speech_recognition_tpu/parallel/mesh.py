@@ -113,8 +113,16 @@ def _fsdp_rule(mesh: Mesh):
 
 
 def param_sharding(mesh: Mesh, params: Any) -> Any:
-    """FSDP-style parameter sharding rules (see _fsdp_rule). 'model' axis
-    sharding (TP) is layered on in parallel/tp_rules.py for whisper-large."""
+    """Parameter sharding rules for the production loop: FSDP largest-axis
+    sharding (see _fsdp_rule); when the mesh carries a real 'model' axis,
+    Megatron TP column/row rules (parallel/tp_rules.py) take precedence
+    where they match, FSDP fills in the rest — so train_loop on a
+    model_axis>1 MeshConfig runs genuine tensor parallelism, not silent
+    replication."""
+    if mesh.shape.get("model", 1) > 1:
+        from .tp_rules import fsdp_tp_sharding
+
+        return fsdp_tp_sharding(mesh, params)
     return jax.tree_util.tree_map(_fsdp_rule(mesh), params)
 
 
@@ -126,7 +134,13 @@ def opt_state_sharding(mesh: Mesh, opt_state: Any) -> Any:
     shape-deterministic _fsdp_rule assigns them exactly the sharding of the
     param they track; scalar counts and schedule state replicate. Adam state
     is 2x params — this is the main memory win for large-v3 fine-tunes.
+    On a TP mesh the path-suffix TP rules apply equally (mu/nu paths embed
+    the param path), keeping optimizer shards aligned with their params.
     """
+    if mesh.shape.get("model", 1) > 1:
+        from .tp_rules import fsdp_tp_sharding
+
+        return fsdp_tp_sharding(mesh, opt_state)
     return jax.tree_util.tree_map(_fsdp_rule(mesh), opt_state)
 
 

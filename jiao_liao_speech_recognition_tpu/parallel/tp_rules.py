@@ -38,7 +38,12 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
 
     def rule(kp, p):
         keys = _path_strs(kp)
-        if tp == 1 or p.ndim == 0:
+        # non-array leaves (optax MaskedNode, schedule scalars) replicate —
+        # the rule also runs over OPTIMIZER state (mu/nu carry the param
+        # path as a suffix), where such leaves are routine
+        nd = getattr(p, "ndim", 0)
+        shape = getattr(p, "shape", ())
+        if tp == 1 or nd == 0:
             return NamedSharding(mesh, P())
         # locate the owning module name (…/<module>/dense/kernel)
         mod = ""
@@ -46,14 +51,14 @@ def tp_param_sharding(mesh: Mesh, params: Any) -> Any:
             if k in _COLUMN_KERNELS + _ROW_KERNELS:
                 mod = k
         leaf = keys[-1]
-        if leaf == "kernel" and p.ndim == 2:
-            if mod in _COLUMN_KERNELS and p.shape[1] % tp == 0:
+        if leaf == "kernel" and nd == 2:
+            if mod in _COLUMN_KERNELS and shape[1] % tp == 0:
                 return NamedSharding(mesh, P(None, "model"))
-            if mod in _ROW_KERNELS and p.shape[0] % tp == 0:
+            if mod in _ROW_KERNELS and shape[0] % tp == 0:
                 return NamedSharding(mesh, P("model", None))
-        if leaf == "bias" and mod in _COLUMN_KERNELS and p.shape[0] % tp == 0:
+        if leaf == "bias" and mod in _COLUMN_KERNELS and shape[0] % tp == 0:
             return NamedSharding(mesh, P("model"))
-        if leaf == "embedding" and p.ndim == 2 and p.shape[0] % tp == 0:
+        if leaf == "embedding" and nd == 2 and shape[0] % tp == 0:
             return NamedSharding(mesh, P("model", None))
         return NamedSharding(mesh, P())
 
@@ -78,10 +83,11 @@ def fsdp_tp_sharding(mesh: Mesh, params: Any) -> Any:
     base = _fsdp_rule(mesh)
 
     def merge(p, tpsh):
-        spec = tuple(tpsh.spec) + (None,) * (p.ndim - len(tpsh.spec))
+        nd = getattr(p, "ndim", 0)
+        spec = tuple(tpsh.spec) + (None,) * (nd - len(tpsh.spec))
         if all(s is None for s in spec):
             return base(p)
-        if fsdp_n > 1 and p.ndim >= 2:
+        if fsdp_n > 1 and nd >= 2:
             # shard the largest non-TP axis over fsdp too
             free = [i for i, s in enumerate(spec) if s is None]
             if free:

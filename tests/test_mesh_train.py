@@ -141,6 +141,9 @@ def test_train_loop_mesh_matches_single_device(tmp_path, rng):
         ("single", MeshConfig(data_axis=1)),
         ("dp8", MeshConfig()),  # auto: data=8
         ("dp_fsdp", MeshConfig(fsdp_axis=2)),  # data=4, fsdp=2 + ZeRO
+        # 3D: TP now rides the production loop via shard_state ->
+        # fsdp_tp_sharding (r4 verdict item 4)
+        ("dp_fsdp_tp", MeshConfig(data_axis=2, fsdp_axis=2, model_axis=2)),
     ]:
         cfg = _cfg(batch=8, steps=4, adapters=True)
         cfg.mesh = mesh_cfg
@@ -151,7 +154,16 @@ def test_train_loop_mesh_matches_single_device(tmp_path, rng):
         state, info = train_loop(cfg, manifest, tok, params)
         results[name] = (np.asarray(state.params["ctc_head"]["kernel"]),
                          info["last_metrics"]["loss"])
-    for name in ["dp8", "dp_fsdp"]:
+        if name == "dp_fsdp_tp":
+            # the TP run must actually shard over 'model' — a silently
+            # replicated "TP" run would still pass the loss check
+            model_sharded = sum(
+                1 for leaf in jax.tree_util.tree_leaves(state.params)
+                if "model" in str(getattr(getattr(leaf, "sharding", None),
+                                          "spec", ""))
+            )
+            assert model_sharded > 0, "no param sharded over 'model'"
+    for name in ["dp8", "dp_fsdp", "dp_fsdp_tp"]:
         assert abs(results[name][1] - results["single"][1]) < 1e-4, name
         assert np.abs(results[name][0] - results["single"][0]).max() < 1e-4, name
 

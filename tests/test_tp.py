@@ -177,3 +177,51 @@ def test_bundle_sharded_transcribe_matches_unsharded(tmp_path, rng):
     assert b2.mesh is not None
     t2 = b2.transcribe([str(p)])
     assert t1 == t2
+
+
+def test_opt_state_tp_sharding_through_production_entry():
+    """parallel.mesh.opt_state_sharding (what train_loop's shard_state
+    uses) applies the Megatron TP rules to Adam mu/nu on a model-axis>1
+    mesh — optimizer shards stay aligned with their params, including with
+    an adapters-only masked optimizer in the tree."""
+    import dataclasses as dc
+
+    from jiao_liao_speech_recognition_tpu.parallel.mesh import (
+        opt_state_sharding,
+        param_sharding,
+    )
+    from jiao_liao_speech_recognition_tpu.utils.config import AdapterConfig
+
+    mesh = build_mesh(MeshConfig(data_axis=2, fsdp_axis=2, model_axis=2),
+                      jax.devices())
+
+    def model_sharded(tree):
+        return sum(
+            1 for _, s in jax.tree_util.tree_flatten_with_path(tree)[0]
+            if "model" in str(s.spec)
+        )
+
+    # full fine-tune: Adam mu/nu carry the param path as a suffix, so the
+    # backbone kernels' TP specs must reappear in the optimizer state
+    cfg = dc.replace(CFG)
+    params = ModelBundle._init_params(cfg)
+    _, _, tx, _ = build_train_setup(cfg, params, mesh)
+    state = init_state(cfg, tx, params)
+    n_p = model_sharded(param_sharding(mesh, state.params))
+    n_o = model_sharded(opt_state_sharding(mesh, state.opt_state))
+    assert n_p > 0, "no param got a TP spec"
+    assert n_o >= 2 * n_p, (n_o, n_p)  # mu and nu per TP'd kernel
+
+    # adapters-only masked optimizer: tracks only the (small, correctly
+    # replicated) WF factors — the rules must traverse MaskedNode leaves
+    # without crashing and shard the PARAMS regardless
+    cfg2 = dc.replace(CFG)
+    cfg2.whisper = dc.replace(
+        CFG.whisper, adapter=AdapterConfig(kind="wf", wf_rank=4)
+    )
+    cfg2.train.train_adapters_only = True
+    params2 = ModelBundle._init_params(cfg2)
+    _, _, tx2, _ = build_train_setup(cfg2, params2, mesh)
+    state2 = init_state(cfg2, tx2, params2)
+    assert model_sharded(param_sharding(mesh, state2.params)) > 0
+    opt_state_sharding(mesh, state2.opt_state)  # no crash on masked tree
