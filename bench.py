@@ -810,6 +810,44 @@ def bench_large_v3_decode() -> dict:
     }
 
 
+def bench_quality_ordering() -> dict:
+    """The one claim the reference publishes (README.md:1: novel adapters
+    beat conventional adapters / full fine-tuning on CER/WER) as a SCORED,
+    seeded regression field (r4 verdict item 8): runs the synthetic
+    multi-dialect transfer protocol (examples/synthetic_demo.py
+    --compare-adapters) — stage-1 neighbor-dialect pretrain, stage-2
+    adapter-only adaptation once per kind (wf/att/bottleneck), held-out
+    eval — and records the per-family CERs plus the robust verdict
+    (transfer helps + every family adapts; the exact family ordering is
+    recorded but not asserted — the toy task can't discriminate it,
+    docs/PERFORMANCE.md)."""
+    budget = float(os.environ.get("JL_BENCH_SECTION_BUDGET_S", "900"))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "examples", "synthetic_demo.py"),
+         "--compare-adapters", "--outdir", "/tmp/jl_bench_quality"],
+        capture_output=True, text=True, timeout=max(180, budget - 30),
+    )
+    ordering = None
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "quality_ordering" in line:
+            ordering = json.loads(line)["quality_ordering"]
+    if r.returncode != 0 or ordering is None:
+        raise RuntimeError(
+            f"quality protocol failed (rc={r.returncode}):\n"
+            + r.stdout[-800:] + "\n" + r.stderr[-800:]
+        )
+    return {
+        "quality_ordering_ok": ordering["ok"],
+        "quality_zero_shot_cer": round(ordering["zero_shot_cer"], 4),
+        "quality_cer_wf": round(ordering["cer_wf"], 4),
+        "quality_cer_att": round(ordering["cer_att"], 4),
+        "quality_cer_bottleneck": round(ordering["cer_bottleneck"], 4),
+    }
+
+
 def bench_tpu_tier() -> dict:
     """On-chip kernel-lowering tier as a SCORED field (r4 verdict item 5):
     a curated core of the `-m tpu` real-Mosaic-lowering parity tests runs
@@ -879,6 +917,7 @@ _SECTIONS: "list[tuple[str, dict]]" = [
     ("bench_bucketed_rtfx", dict(timeout=900, device=True, flag="--no-bucketed")),
     ("bench_large_v3_adapter", dict(timeout=900, device=True, flag="--no-large")),
     ("bench_large_v3_decode", dict(timeout=900, device=True, flag="--no-large")),
+    ("bench_quality_ordering", dict(timeout=900, device=True, flag="--no-quality")),
     ("bench_tpu_tier", dict(timeout=420, device=True, flag="--no-tpu-tier")),
 ]
 _HIDDEN_SECTIONS = {
@@ -908,6 +947,11 @@ _SCHEMA = [
     ("large_v3_decode_tok_s", None),
     ("large_v3_decode_rtfx", None),
     ("large_v3_serve_peak_hbm_gb", None),
+    ("quality_ordering_ok", None),
+    ("quality_zero_shot_cer", None),
+    ("quality_cer_wf", None),
+    ("quality_cer_att", None),
+    ("quality_cer_bottleneck", None),
     ("tpu_tier_ok", None),
     ("tpu_tier_passed", None),
 ]

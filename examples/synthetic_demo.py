@@ -69,7 +69,30 @@ def main() -> None:
         help="run stage 2 once per adapter kind (wf/att/bottleneck) from the "
              "same stage-1 params — the paper's comparison (README.md:1)",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the environment may pin a TPU platform "
+             "via site config; only jax.config.update sticks, env vars are "
+             "ignored) — use when the chip is busy or absent",
+    )
+    ap.add_argument(
+        "--assert-ordering", action="store_true",
+        help="with --compare-adapters: exit 1 unless the protocol's robust "
+             "invariants hold on this seeded run — every adapted kind "
+             "improves CER over the zero-shot transfer baseline AND every "
+             "kind reaches CER <= 0.5 (large margin under the ~0.93 "
+             "zero-shot). The paper's exact wf/att-vs-bottleneck ordering "
+             "(README.md:1) is NOT asserted: the synthetic tone-shift task "
+             "is too easy to discriminate adapter families (see "
+             "docs/PERFORMANCE.md) — the per-family CERs are recorded as "
+             "tracked data instead",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -135,6 +158,7 @@ def main() -> None:
 
     params1 = _jax.tree_util.tree_map(np.asarray, params1)
     kinds = ["wf", "att", "bottleneck"] if args.compare_adapters else ["wf"]
+    adapted_by_kind = {}
     for kind in kinds:
         cfg2 = dataclasses.replace(
             cfg,
@@ -168,7 +192,35 @@ def main() -> None:
         merged = jax.tree_util.tree_map_with_path(_graft, fresh)
         params2, tokenizer, hist2 = run_stages(cfg2, params=merged, tokenizer=tokenizer)
         adapted = evaluate_manifest(cfg2, params2, tokenizer, test_m)
+        adapted_by_kind[kind] = adapted
         print(json.dumps({f"after_adaptation_{kind}": adapted}, ensure_ascii=False))
+
+    # quality-protocol ordering (the one claim the reference publishes,
+    # README.md:1): summary line + optional hard assertion so the claim
+    # direction has a standing per-round regression check (r4 verdict
+    # item 8). Fully seeded above -> deterministic for a given code version.
+    if args.compare_adapters:
+        zs = zero_shot["eval_cer"]
+        cers = {k: v["eval_cer"] for k, v in adapted_by_kind.items()}
+        transfer_helps = all(c < zs for c in cers.values())
+        all_adapt = max(cers.values()) <= 0.5
+        # informational, NOT load-bearing for ok: the toy task can't
+        # discriminate adapter families (docs/PERFORMANCE.md records
+        # bottleneck occasionally beating wf here)
+        novel_not_worse = min(cers["wf"], cers["att"]) <= cers["bottleneck"]
+        summary = {
+            "quality_ordering": {
+                "zero_shot_cer": zs,
+                **{f"cer_{k}": c for k, c in cers.items()},
+                "transfer_helps": transfer_helps,
+                "all_kinds_adapt": all_adapt,
+                "novel_not_worse_than_bottleneck": novel_not_worse,
+                "ok": transfer_helps and all_adapt,
+            }
+        }
+        print(json.dumps(summary, ensure_ascii=False))
+        if args.assert_ordering and not summary["quality_ordering"]["ok"]:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -78,7 +78,9 @@ def test_partial_json_survives_induced_timeout():
     r = _run_bench({
         "JL_BENCH_ONLY": "bench_selftest_extra,bench_selftest_ok",
         "JL_BENCH_INDUCE_FAIL": "bench_selftest_extra:timeout",
-        "JL_BENCH_TIMEOUT_OVERRIDE_S": "3",
+        # generous enough for child-python startup on a loaded 1-core host;
+        # the induced hang sleeps ~forever so any value stays fast
+        "JL_BENCH_TIMEOUT_OVERRIDE_S": "15",
     })
     assert r.returncode == 0
     last = _json_lines(r.stdout)[-1]
