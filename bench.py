@@ -355,23 +355,35 @@ def bench_bucketed_rtfx() -> dict:
         materialize(pending)
         return spoken, texts
 
+    t0 = time.perf_counter()
     run_epoch(timed=False)  # warm every bucket shape
+    sys.stderr.write(
+        f"bucketed: warm epoch {time.perf_counter() - t0:.1f}s "
+        f"({n_batches} batches)\n"
+    )
     t0 = time.perf_counter()
     spoken, texts = run_epoch(timed=True)
     dt = time.perf_counter() - t0
+    sys.stderr.write(f"bucketed: timed epoch {dt:.1f}s\n")
     assert len(texts) == len(manifest.rows)
     pipeline_rtfx = spoken / dt
 
     # --- device-resident replay of the same epoch (chip-honest number) ---
-    # r4 postmortem: uploading the ENTIRE epoch as permanently-resident
-    # buffers (on top of the pipeline epochs' allocations) OOMed the HBM
-    # and nulled the whole round. The replay now runs in WAVES sized to an
-    # HBM budget read from memory_stats(): each wave uploads <= K batches
-    # (distinct buffers), warms each once, times the pure dispatch chain
-    # with ONE hard sync, then DELETES the wave's buffers before the next
-    # upload. Semantics preserved per wave: distinct warmed buffers, no
-    # host decode / relay transfer / text work inside any timed window;
-    # bucketed_device_rtfx = total spoken seconds / sum of timed windows.
+    # r4 postmortem: holding the ENTIRE epoch resident (inputs + every
+    # epoch output + jit caches) tipped an HBM already crowded by the
+    # relay's lazily-reclaimed dead-client buffers, and the round scored
+    # null. The replay now runs in WAVES: upload <= K batches (distinct
+    # buffers), warm each once, time the pure dispatch chain with ONE hard
+    # sync per wave, then DROP every reference before the next wave so at
+    # most one wave (plus one transient execution) is live at a time.
+    # References are dropped, NOT .delete()d: explicit buffer deletes were
+    # observed to wedge the remote-relay client for minutes (diagnosed
+    # r5 — the fast path and the wedged path differed only in delete()).
+    # Semantics preserved: distinct warmed buffers, no host decode / relay
+    # transfer / text work inside any timed window; bucketed_device_rtfx =
+    # total spoken seconds / sum of timed windows. A byte cap bounds the
+    # replayed subset if the corpus ever outgrows the budget (logged —
+    # no silent truncation).
     host_batches = [
         (b.audio, b.audio_lengths)
         for b in BatchIterator(
@@ -379,42 +391,48 @@ def bench_bucketed_rtfx() -> dict:
             process_index=0, process_count=1,
         )
     ]
-    dev_spoken = sum(
-        float(np.sum(lens)) / fe.sample_rate for _, lens in host_batches
+    replay_budget = int(
+        os.environ.get("JL_BENCH_REPLAY_BYTES", str(2 << 30))
     )
-    per_batch_bytes = max(a.nbytes + lens.nbytes for a, lens in host_batches)
-    try:
-        st = jax.local_devices()[0].memory_stats()
-        free = int(st.get("bytes_limit", 16 << 30)) - int(
-            st.get("bytes_in_use", 0)
+    picked, acc = [], 0
+    for a, lens in host_batches:
+        if acc + a.nbytes > replay_budget and picked:
+            break
+        picked.append((a, lens))
+        acc += a.nbytes
+    if len(picked) < len(host_batches):
+        sys.stderr.write(
+            f"bucketed: replay capped at {len(picked)}/{len(host_batches)} "
+            f"batches ({acc / 2**20:.0f} MiB budget)\n"
         )
-    except Exception:
-        free = 4 << 30
-    # resident cost per batch ~= inputs + argmax ids; 8x headroom covers
-    # outputs, dequantized copies, and transient activations of the one
-    # in-flight execution
-    wave_budget = max(min(free // 4, 2 << 30), 256 << 20)
-    K = int(np.clip(wave_budget // (per_batch_bytes * 8), 2, 16))
+    dev_spoken = sum(
+        float(np.sum(lens)) / fe.sample_rate for _, lens in picked
+    )
+    K = 4  # wave width: bounds resident bytes to ~K batches
 
     dt_dev = 0.0
-    for w0 in range(0, len(host_batches), K):
+    t_replay = time.perf_counter()
+    for w0 in range(0, len(picked), K):
         wave = [
             (jnp.asarray(a), jnp.asarray(lens))
-            for a, lens in host_batches[w0 : w0 + K]
+            for a, lens in picked[w0 : w0 + K]
         ]
         jax.block_until_ready(wave)
+        outs = []
         for a, l in wave:  # warm every resident buffer (distinct dispatches)
             out = infer(params, a, l)
             _ = int(np.asarray(out[1]).sum())
-            for o in out:
-                o.delete()
         t0 = time.perf_counter()
         outs = [infer(params, a, l) for a, l in wave]
         total = int(np.asarray(sum(jnp.sum(o[1]) for o in outs)))  # hard sync
         dt_dev += time.perf_counter() - t0
         assert total >= 0
-        for (a, l), (ids, n) in zip(wave, outs):
-            a.delete(); l.delete(); ids.delete(); n.delete()
+        del wave, outs  # drop refs -> freed before the next wave uploads
+    sys.stderr.write(
+        f"bucketed: replay {time.perf_counter() - t_replay:.1f}s total "
+        f"(timed windows {dt_dev:.2f}s, K={K}, "
+        f"{len(picked)} batches)\n"
+    )
     return {
         "bucketed_rtfx": round(pipeline_rtfx, 2),
         "bucketed_device_rtfx": round(dev_spoken / dt_dev, 2),
