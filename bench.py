@@ -1162,10 +1162,12 @@ def main() -> None:
                 )
                 out["sections_skipped"].append(name)
                 return
+            t_child = time.monotonic()
             result, stderr = run_child(name, budget)
             if result is not None:
                 out.update(result)
                 return
+            child_timed_out = time.monotonic() - t_child >= budget - 1
             if attempt == 0 and _stderr_tail_has_oom(stderr):
                 # wait for the relay's lazy reclaim before the one retry
                 probe_budget = min(480.0, max(0.0, remaining() - 150))
@@ -1174,6 +1176,20 @@ def main() -> None:
                     f"reclaim (up to {probe_budget:.0f}s)\n"
                 )
                 _wait_for_hbm_reclaim(probe_budget)
+            elif (
+                attempt == 0
+                and child_timed_out
+                and spec["device"]
+                and remaining() > 1.5 * base_timeout
+            ):
+                # a client that connects while the relay is mid-reclaim of a
+                # dead client's buffers can wedge at init FOREVER (observed
+                # r5: 11 s of CPU then a permanent gRPC block) — one retry
+                # in a fresh process, but only with deadline to spare
+                sys.stderr.write(
+                    f"bench section {name}: timed out — one fresh-process "
+                    "retry (possible relay wedge at init)\n"
+                )
             else:
                 return
 
@@ -1195,14 +1211,23 @@ def main() -> None:
 
     emit()  # skeleton line first: even a probe-time crash leaves valid JSON
 
-    # one cheap upfront probe: if the backend (e.g. the remote TPU relay) is
-    # down, emit the null line in ~5 min instead of burning every section's
-    # timeout in turn
+    # upfront liveness probe with recovery wait: the relay has been observed
+    # FULLY wedged (even a fresh client's 256x256 sum blocks forever) for
+    # minutes after a heavy client dies, then recovering on its own. A
+    # one-shot probe would null the whole round in that window; instead
+    # retry up to half the deadline before declaring the device down.
     alive = True
     if any(spec["device"] for _, spec in sections):
         alive = device_alive()
+        while not alive and time.monotonic() - t_start < 0.5 * deadline_s:
+            sys.stderr.write(
+                "bench: device probe failed — waiting 60 s for the relay "
+                "to recover\n"
+            )
+            time.sleep(60)
+            alive = device_alive()
         if not alive:
-            sys.stderr.write("bench: device probe failed; device sections skipped\n")
+            sys.stderr.write("bench: device down; device sections skipped\n")
 
     for name, spec in sections:
         if spec.get("flag") and spec["flag"] in args:
