@@ -384,13 +384,20 @@ def bench_bucketed_rtfx() -> dict:
     # total spoken seconds / sum of timed windows. A byte cap bounds the
     # replayed subset if the corpus ever outgrows the budget (logged —
     # no silent truncation).
-    host_batches = [
-        (b.audio, b.audio_lengths)
-        for b in BatchIterator(
-            manifest, tok, data_cfg, drop_last=False,
-            process_index=0, process_count=1,
-        )
-    ]
+    #
+    # ROOT CAUSE of the r4 OOM, found r5: BatchIterator is an INFINITE
+    # iterator by design (__next__ rolls into the next epoch — training
+    # semantics), so r4's `for b in BatchIterator(...)` replay-collection
+    # loop uploaded batches forever until HBM exhausted. Exactly ONE epoch
+    # is drawn here, by the plan length.
+    replay_it = BatchIterator(
+        manifest, tok, data_cfg, drop_last=False,
+        process_index=0, process_count=1,
+    )
+    host_batches = []
+    for _ in range(len(replay_it._plan_for_epoch())):
+        b = next(replay_it)
+        host_batches.append((b.audio, b.audio_lengths))
     replay_budget = int(
         os.environ.get("JL_BENCH_REPLAY_BYTES", str(2 << 30))
     )
