@@ -50,6 +50,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
@@ -928,6 +929,13 @@ def bench_selftest_extra() -> dict:
 
 
 _RESULT_MARK = "JL_SECTION_RESULT:"
+# Printed by a device section's child the moment its first trivial device op
+# completes: the remote relay sometimes wedges a client AT INIT forever (a
+# few seconds of CPU, then a permanent block inside native gRPC — observed
+# repeatedly under relay flapping). The parent watches for this marker and
+# kills + fresh-retries a child that never produces it, converting a
+# full-section-timeout burn (900 s) into a bounded connect attempt.
+_INIT_MARK = "JL_SECTION_INIT_OK"
 
 # Section registry: subprocess timeout (shrunk to the remaining deadline at
 # dispatch), whether the section needs the device probe/_setup, and the CLI
@@ -1039,6 +1047,12 @@ def _run_section_child(name: str) -> None:
     spec = dict(_SECTIONS).get(name) or _HIDDEN_SECTIONS[name]
     if spec["device"]:
         _setup()
+        # touch the device NOW and tell the parent: a connect that wedges
+        # at init must be distinguishable from a slow section
+        import jax.numpy as jnp
+
+        assert float(jnp.sum(jnp.ones((4, 4)))) == 16.0
+        print(_INIT_MARK, flush=True)
     result = globals()[name]()
     print(_RESULT_MARK + json.dumps(result), flush=True)
 
@@ -1126,25 +1140,77 @@ def main() -> None:
         sections = list(_SECTIONS)
     timeout_override = os.environ.get("JL_BENCH_TIMEOUT_OVERRIDE_S")
 
-    def run_child(name: str, timeout_s: float):
+    init_timeout_s = float(os.environ.get("JL_BENCH_INIT_TIMEOUT_S", "300"))
+
+    def run_child(name: str, timeout_s: float, device: bool):
+        """-> (result|None, stderr, status) with status in
+        ok | timeout | init_wedge | crash.
+
+        init_wedge: a device child that never produced its _INIT_MARK within
+        init_timeout_s — the relay wedged this client's connect (near-zero
+        CPU, permanent native-gRPC block). The child is killed after only
+        the init window, not the full section budget, so the caller can
+        retry the connect lottery in a fresh process cheaply."""
         env = dict(os.environ)
         env["JL_BENCH_SECTION_BUDGET_S"] = str(int(timeout_s))
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--section", name],
-                capture_output=True, text=True, timeout=timeout_s, env=env,
-            )
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(f"bench section {name} timed out ({timeout_s:.0f}s)\n")
-            return None, ""
-        for line in r.stdout.splitlines():
-            if line.startswith(_RESULT_MARK):
-                return json.loads(line[len(_RESULT_MARK):]), r.stderr
-        sys.stderr.write(
-            f"bench section {name} failed (rc={r.returncode}):\n"
-            + r.stderr[-1500:] + "\n"
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
-        return None, r.stderr
+        out_lines: list = []
+        err_parts: list = []
+        init_seen = threading.Event()
+
+        def drain_out() -> None:
+            for line in proc.stdout:
+                out_lines.append(line)
+                if line.startswith(_INIT_MARK):
+                    init_seen.set()
+
+        def drain_err() -> None:
+            err_parts.append(proc.stderr.read())
+
+        t_out = threading.Thread(target=drain_out, daemon=True)
+        t_err = threading.Thread(target=drain_err, daemon=True)
+        t_out.start()
+        t_err.start()
+        t0 = time.monotonic()
+        status = "ok"
+        while proc.poll() is None:
+            el = time.monotonic() - t0
+            if el >= timeout_s:
+                status = "timeout"
+                break
+            if device and not init_seen.is_set() and el >= init_timeout_s:
+                status = "init_wedge"
+                break
+            time.sleep(1.0)
+        if status != "ok":
+            proc.kill()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+        t_out.join(timeout=10)
+        t_err.join(timeout=10)
+        stderr = "".join(err_parts)
+        if status == "timeout":
+            sys.stderr.write(f"bench section {name} timed out ({timeout_s:.0f}s)\n")
+            return None, stderr, status
+        if status == "init_wedge":
+            sys.stderr.write(
+                f"bench section {name}: no device init after "
+                f"{init_timeout_s:.0f}s (relay wedged this connect) — killed\n"
+            )
+            return None, stderr, status
+        for line in out_lines:
+            if line.startswith(_RESULT_MARK):
+                return json.loads(line[len(_RESULT_MARK):]), stderr, "ok"
+        sys.stderr.write(
+            f"bench section {name} failed (rc={proc.returncode}):\n"
+            + stderr[-1500:] + "\n"
+        )
+        return None, stderr, "crash"
 
     def section(name: str, spec: dict) -> None:
         """Fault-isolated section: run it in a SUBPROCESS. A crash, a device
@@ -1158,19 +1224,35 @@ def main() -> None:
             float(timeout_override) if timeout_override else spec["timeout"]
         )
         floor = 100 if spec["device"] else 2
+        wedge_retries = 0
         for attempt in range(2):
-            budget = min(base_timeout, remaining() - 45)
-            # skip on an exhausted DEADLINE (a deliberately small per-section
-            # timeout override must still dispatch)
-            if remaining() - 45 < floor or budget <= 0:
-                sys.stderr.write(
-                    f"bench section {name}: skipped "
-                    f"({remaining():.0f}s left of the {deadline_s:.0f}s deadline)\n"
+            while True:
+                budget = min(base_timeout, remaining() - 45)
+                # skip on an exhausted DEADLINE (a deliberately small
+                # per-section timeout override must still dispatch)
+                if remaining() - 45 < floor or budget <= 0:
+                    sys.stderr.write(
+                        f"bench section {name}: skipped "
+                        f"({remaining():.0f}s left of the {deadline_s:.0f}s "
+                        "deadline)\n"
+                    )
+                    out["sections_skipped"].append(name)
+                    return
+                t_child = time.monotonic()
+                result, stderr, status = run_child(
+                    name, budget, spec["device"]
                 )
-                out["sections_skipped"].append(name)
-                return
-            t_child = time.monotonic()
-            result, stderr = run_child(name, budget)
+                # a wedged connect burned only the init window: retry the
+                # connect lottery in a fresh process, not counted against
+                # the section's one failure-retry
+                if status == "init_wedge" and wedge_retries < 6:
+                    wedge_retries += 1
+                    sys.stderr.write(
+                        f"bench section {name}: fresh-process connect retry "
+                        f"{wedge_retries}/6\n"
+                    )
+                    continue
+                break
             if result is not None:
                 out.update(result)
                 return
