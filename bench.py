@@ -924,6 +924,14 @@ def bench_selftest_ok() -> dict:
     return {"selftest_ok": 1.0}
 
 
+def bench_selftest_device() -> dict:
+    """Selftest flagged device=True: with an induced pre-init hang it
+    exercises the parent's init-wedge detection (the induced failure fires
+    BEFORE _setup's device touch, so the CPU test env never dials the
+    relay)."""
+    return {"selftest_device": 3.0}
+
+
 def bench_selftest_extra() -> dict:
     return {"selftest_extra": 2.0}
 
@@ -956,6 +964,7 @@ _SECTIONS: "list[tuple[str, dict]]" = [
 _HIDDEN_SECTIONS = {
     "bench_selftest_ok": dict(timeout=60, device=False, flag=None),
     "bench_selftest_extra": dict(timeout=60, device=False, flag=None),
+    "bench_selftest_device": dict(timeout=60, device=True, flag=None),
 }
 _ALL_SECTION_NAMES = {n for n, _ in _SECTIONS} | set(_HIDDEN_SECTIONS)
 
@@ -1140,7 +1149,8 @@ def main() -> None:
         sections = list(_SECTIONS)
     timeout_override = os.environ.get("JL_BENCH_TIMEOUT_OVERRIDE_S")
 
-    init_timeout_s = float(os.environ.get("JL_BENCH_INIT_TIMEOUT_S", "300"))
+    init_timeout_s = float(os.environ.get("JL_BENCH_INIT_TIMEOUT_S", "150"))
+    max_wedge_retries = int(os.environ.get("JL_BENCH_WEDGE_RETRIES", "6"))
 
     def run_child(name: str, timeout_s: float, device: bool):
         """-> (result|None, stderr, status) with status in
@@ -1245,11 +1255,11 @@ def main() -> None:
                 # a wedged connect burned only the init window: retry the
                 # connect lottery in a fresh process, not counted against
                 # the section's one failure-retry
-                if status == "init_wedge" and wedge_retries < 6:
+                if status == "init_wedge" and wedge_retries < max_wedge_retries:
                     wedge_retries += 1
                     sys.stderr.write(
                         f"bench section {name}: fresh-process connect retry "
-                        f"{wedge_retries}/6\n"
+                        f"{wedge_retries}/{max_wedge_retries}\n"
                     )
                     continue
                 break
@@ -1292,7 +1302,7 @@ def main() -> None:
                  "import jax, jax.numpy as jnp;"
                  "assert float(jnp.sum(jnp.ones((4,4)))) == 16.0;"
                  "print('ALIVE')"],
-                capture_output=True, text=True, timeout=300,
+                capture_output=True, text=True, timeout=150,
             )
             return "ALIVE" in r.stdout
         except subprocess.TimeoutExpired:
@@ -1306,7 +1316,10 @@ def main() -> None:
     # one-shot probe would null the whole round in that window; instead
     # retry up to half the deadline before declaring the device down.
     alive = True
-    if any(spec["device"] for _, spec in sections):
+    # test hook: orchestration tests exercise device-flagged selftest
+    # sections without dialing the real backend
+    assume_alive = os.environ.get("JL_BENCH_ASSUME_ALIVE") == "1"
+    if not assume_alive and any(spec["device"] for _, spec in sections):
         alive = device_alive()
         while not alive and time.monotonic() - t_start < 0.5 * deadline_s:
             sys.stderr.write(

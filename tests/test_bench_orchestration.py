@@ -105,6 +105,27 @@ def test_induced_oom_routes_through_probe_and_retries():
     assert last["selftest_ok"] == 1.0
 
 
+def test_init_wedge_detected_and_retried_cheaply():
+    """r5: a device child whose connect wedges at init (no INIT_OK marker)
+    is killed after JL_BENCH_INIT_TIMEOUT_S — not the full section budget —
+    and retried in a fresh process; the failure nulls only that section.
+    The induced hang fires before _setup's device touch, so this test never
+    dials a backend."""
+    r = _run_bench({
+        "JL_BENCH_ONLY": "bench_selftest_device,bench_selftest_ok",
+        "JL_BENCH_INDUCE_FAIL": "bench_selftest_device:timeout",
+        "JL_BENCH_INIT_TIMEOUT_S": "6",
+        "JL_BENCH_WEDGE_RETRIES": "1",
+        "JL_BENCH_ASSUME_ALIVE": "1",
+    }, timeout=180)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "relay wedged this connect" in r.stderr
+    assert "fresh-process connect retry 1/1" in r.stderr
+    last = _json_lines(r.stdout)[-1]
+    assert "selftest_device" not in last  # wedged section nulled
+    assert last["selftest_ok"] == 1.0  # later section unaffected
+
+
 def test_deadline_skips_sections_and_still_emits():
     r = _run_bench(
         {"JL_BENCH_ONLY": "bench_selftest_ok,bench_selftest_extra"},
