@@ -46,8 +46,8 @@ def test_cumulative_emission_every_section():
     r = _run_bench({"JL_BENCH_ONLY": "bench_selftest_ok,bench_selftest_extra"})
     assert r.returncode == 0, r.stderr[-2000:]
     lines = _json_lines(r.stdout)
-    # skeleton + one line per section
-    assert len(lines) == 3
+    # skeleton + one line per section + the final sections_wedged line
+    assert len(lines) == 4
     # skeleton carries the full schema with nulls
     assert lines[0]["value"] is None
     assert lines[0]["metric"] == "rtfx"
@@ -58,6 +58,7 @@ def test_cumulative_emission_every_section():
     assert "selftest_extra" not in lines[1]
     assert lines[2]["selftest_ok"] == 1.0
     assert lines[2]["selftest_extra"] == 2.0
+    assert lines[3]["sections_wedged"] == []
 
 
 def test_partial_json_survives_induced_crash():
@@ -117,6 +118,7 @@ def test_init_wedge_detected_and_retried_cheaply():
         "JL_BENCH_INIT_TIMEOUT_S": "6",
         "JL_BENCH_WEDGE_RETRIES": "1",
         "JL_BENCH_ASSUME_ALIVE": "1",
+        "JL_BENCH_WEDGE_PASSES": "0",
     }, timeout=180)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "relay wedged this connect" in r.stderr
@@ -124,6 +126,26 @@ def test_init_wedge_detected_and_retried_cheaply():
     last = _json_lines(r.stdout)[-1]
     assert "selftest_device" not in last  # wedged section nulled
     assert last["selftest_ok"] == 1.0  # later section unaffected
+    assert last["sections_wedged"] == ["bench_selftest_device"]
+
+
+def test_wedge_recovery_pass_retries_wedged_sections():
+    """A wedge-nulled section is re-attempted breadth-first after the main
+    pass while the deadline allows."""
+    r = _run_bench({
+        "JL_BENCH_ONLY": "bench_selftest_device,bench_selftest_ok",
+        "JL_BENCH_INDUCE_FAIL": "bench_selftest_device:timeout",
+        "JL_BENCH_INIT_TIMEOUT_S": "5",
+        "JL_BENCH_WEDGE_RETRIES": "0",
+        "JL_BENCH_WEDGE_PASSES": "2",
+        "JL_BENCH_ASSUME_ALIVE": "1",
+    }, timeout=180)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wedge-recovery pass 1/2" in r.stderr
+    assert "wedge-recovery pass 2/2" in r.stderr
+    last = _json_lines(r.stdout)[-1]
+    assert last["sections_wedged"] == ["bench_selftest_device"]
+    assert last["selftest_ok"] == 1.0
 
 
 def test_deadline_skips_sections_and_still_emits():
