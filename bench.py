@@ -1062,6 +1062,16 @@ def _run_section_child(name: str) -> None:
 
         assert float(jnp.sum(jnp.ones((4, 4)))) == 16.0
         print(_INIT_MARK, flush=True)
+        if os.environ.get("JL_BENCH_GO_PROTOCOL") == "1":
+            # pre-connect pipeline: hold the (healthy) connection idle until
+            # the parent frees the chip and hands down the measurement
+            # budget; EOF means the parent abandoned this child
+            line = sys.stdin.readline()
+            if not line.startswith("GO"):
+                sys.exit(3)
+            parts = line.split()
+            if len(parts) > 1:
+                os.environ["JL_BENCH_SECTION_BUDGET_S"] = parts[1]
     result = globals()[name]()
     print(_RESULT_MARK + json.dumps(result), flush=True)
 
@@ -1153,7 +1163,83 @@ def main() -> None:
     init_timeout_s = float(os.environ.get("JL_BENCH_INIT_TIMEOUT_S", "150"))
     max_wedge_retries = int(os.environ.get("JL_BENCH_WEDGE_RETRIES", "1"))
 
-    def run_child(name: str, timeout_s: float, device: bool):
+    def _spawn_child(name: str) -> dict:
+        env = dict(os.environ)
+        env["JL_BENCH_GO_PROTOCOL"] = "1"
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env,
+        )
+        h = {"name": name, "proc": proc, "out": [], "err": [],
+             "init": threading.Event(), "t0": time.monotonic(), "threads": []}
+
+        def drain_out() -> None:
+            for line in proc.stdout:
+                h["out"].append(line)
+                if line.startswith(_INIT_MARK):
+                    h["init"].set()
+
+        def drain_err() -> None:
+            h["err"].append(proc.stderr.read())
+
+        for fn in (drain_out, drain_err):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            h["threads"].append(t)
+        return h
+
+    def _kill_child(h: dict) -> None:
+        try:
+            h["proc"].kill()
+        except Exception:
+            pass
+        try:
+            h["proc"].wait(timeout=30)
+        except Exception:
+            pass
+
+    def _finish_child(h: dict) -> str:
+        for t in h["threads"]:
+            t.join(timeout=10)
+        return "".join(h["err"])
+
+    # Pre-connect pipeline: while the current section MEASURES, a child for
+    # the next section imports + dials in the background (the connect is a
+    # lottery ticket under relay flapping — see run_child), then blocks on
+    # stdin holding its healthy connection idle (zero CPU) until GO.
+    preconn: dict = {"h": None}
+
+    def _preconnect(name) -> None:
+        if name and preconn["h"] is None:
+            sys.stderr.write(f"bench: pre-connecting section {name}\n")
+            preconn["h"] = _spawn_child(name)
+
+    def _tend_preconn() -> None:
+        # recycle a pre-connect child whose connect wedged (window expired,
+        # no INIT) — the wait happens while the current section runs, so
+        # these cycles cost no deadline
+        h = preconn["h"]
+        if h is None:
+            return
+        if (h["proc"].poll() is None and not h["init"].is_set()
+                and time.monotonic() - h["t0"] >= init_timeout_s):
+            sys.stderr.write(
+                f"bench: pre-connect for {h['name']} wedged — recycling\n"
+            )
+            _kill_child(h)
+            _finish_child(h)
+            preconn["h"] = _spawn_child(h["name"])
+
+    def _drop_preconn() -> None:
+        h = preconn["h"]
+        preconn["h"] = None
+        if h is not None:
+            _kill_child(h)
+            _finish_child(h)
+
+    def run_child(name: str, base_timeout: float, device: bool,
+                  next_name=None):
         """-> (result|None, stderr, status) with status in
         ok | timeout | init_wedge | crash.
 
@@ -1161,69 +1247,87 @@ def main() -> None:
         init_timeout_s — the relay wedged this client's connect (near-zero
         CPU, permanent native-gRPC block). The child is killed after only
         the init window, not the full section budget, so the caller can
-        retry the connect lottery in a fresh process cheaply."""
-        env = dict(os.environ)
-        env["JL_BENCH_SECTION_BUDGET_S"] = str(int(timeout_s))
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--section", name],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        )
-        out_lines: list = []
-        err_parts: list = []
-        init_seen = threading.Event()
-
-        def drain_out() -> None:
-            for line in proc.stdout:
-                out_lines.append(line)
-                if line.startswith(_INIT_MARK):
-                    init_seen.set()
-
-        def drain_err() -> None:
-            err_parts.append(proc.stderr.read())
-
-        t_out = threading.Thread(target=drain_out, daemon=True)
-        t_err = threading.Thread(target=drain_err, daemon=True)
-        t_out.start()
-        t_err.start()
-        t0 = time.monotonic()
+        retry the connect lottery in a fresh process cheaply. Device
+        children follow the GO protocol: the measurement budget is handed
+        down AFTER the connect succeeds, and the next section's child
+        starts pre-connecting the moment this one gets GO."""
+        h = None
+        if device:
+            cand = preconn["h"]
+            if cand is not None and cand["name"] == name:
+                preconn["h"] = None
+                if cand["proc"].poll() is None:
+                    h = cand
+                else:
+                    _finish_child(cand)  # died in the slot — spawn fresh
+        if h is None:
+            h = _spawn_child(name)
         status = "ok"
-        while proc.poll() is None:
-            el = time.monotonic() - t0
-            if el >= timeout_s:
+        if device:
+            # phase 1: wait for INIT_OK (window counts from the child's
+            # spawn, so a pre-connected child's wait already happened)
+            while not h["init"].is_set():
+                if h["proc"].poll() is not None:
+                    status = "crash"
+                    break
+                if (time.monotonic() - h["t0"] >= init_timeout_s
+                        or remaining() - 30 <= 0):
+                    status = "init_wedge"
+                    break
+                time.sleep(0.5)
+            if status == "init_wedge":
+                _kill_child(h)
+                stderr = _finish_child(h)
+                sys.stderr.write(
+                    f"bench section {name}: no device init after "
+                    f"{init_timeout_s:.0f}s (relay wedged this connect) — "
+                    "killed\n"
+                )
+                return None, stderr, status
+            if status == "crash":
+                stderr = _finish_child(h)
+                sys.stderr.write(
+                    f"bench section {name} failed (rc={h['proc'].returncode}):\n"
+                    + stderr[-1500:] + "\n"
+                )
+                return None, stderr, status
+            # connected: hand down the measurement budget, then start
+            # pre-connecting the next section while this one works
+            budget = max(30.0, min(base_timeout, remaining() - 45))
+            try:
+                h["proc"].stdin.write(f"GO {int(budget)}\n")
+                h["proc"].stdin.flush()
+            except Exception:
+                _kill_child(h)
+                return None, _finish_child(h), "crash"
+            _preconnect(next_name)
+        else:
+            budget = min(base_timeout, remaining() - 45)
+        t_go = time.monotonic()
+        while h["proc"].poll() is None:
+            if time.monotonic() - t_go >= budget:
                 status = "timeout"
                 break
-            if device and not init_seen.is_set() and el >= init_timeout_s:
-                status = "init_wedge"
-                break
+            _tend_preconn()
             time.sleep(1.0)
-        if status != "ok":
-            proc.kill()
-        try:
-            proc.wait(timeout=30)
-        except subprocess.TimeoutExpired:
-            pass
-        t_out.join(timeout=10)
-        t_err.join(timeout=10)
-        stderr = "".join(err_parts)
         if status == "timeout":
-            sys.stderr.write(f"bench section {name} timed out ({timeout_s:.0f}s)\n")
-            return None, stderr, status
-        if status == "init_wedge":
+            _kill_child(h)
+        stderr = _finish_child(h)
+        if status == "timeout":
             sys.stderr.write(
-                f"bench section {name}: no device init after "
-                f"{init_timeout_s:.0f}s (relay wedged this connect) — killed\n"
+                f"bench section {name} timed out ({budget:.0f}s)\n"
             )
             return None, stderr, status
-        for line in out_lines:
+        for line in h["out"]:
             if line.startswith(_RESULT_MARK):
                 return json.loads(line[len(_RESULT_MARK):]), stderr, "ok"
         sys.stderr.write(
-            f"bench section {name} failed (rc={proc.returncode}):\n"
+            f"bench section {name} failed (rc={h['proc'].returncode}):\n"
             + stderr[-1500:] + "\n"
         )
         return None, stderr, "crash"
 
-    def section(name: str, spec: dict) -> str:
+    def section(name: str, spec: dict, next_name=None) -> str:
         """Fault-isolated section: run it in a SUBPROCESS. A crash, a device
         OOM, or a hang (a wedged remote-relay compile sits inside native
         gRPC where an in-process SIGALRM handler never fires) nulls this
@@ -1238,10 +1342,9 @@ def main() -> None:
         wedge_retries = 0
         for attempt in range(2):
             while True:
-                budget = min(base_timeout, remaining() - 45)
                 # skip on an exhausted DEADLINE (a deliberately small
                 # per-section timeout override must still dispatch)
-                if remaining() - 45 < floor or budget <= 0:
+                if remaining() - 45 < floor:
                     sys.stderr.write(
                         f"bench section {name}: skipped "
                         f"({remaining():.0f}s left of the {deadline_s:.0f}s "
@@ -1249,9 +1352,8 @@ def main() -> None:
                     )
                     out["sections_skipped"].append(name)
                     return "skipped"
-                t_child = time.monotonic()
                 result, stderr, status = run_child(
-                    name, budget, spec["device"]
+                    name, base_timeout, spec["device"], next_name
                 )
                 # a wedged connect burned only the init window: retry the
                 # connect lottery in a fresh process, not counted against
@@ -1267,7 +1369,6 @@ def main() -> None:
             if result is not None:
                 out.update(result)
                 return "ok"
-            child_timed_out = time.monotonic() - t_child >= budget - 1
             if status == "init_wedge":
                 # connect attempts exhausted for THIS call; the caller's
                 # breadth-first pass loop may come back with the remaining
@@ -1283,7 +1384,7 @@ def main() -> None:
                 _wait_for_hbm_reclaim(probe_budget)
             elif (
                 attempt == 0
-                and child_timed_out
+                and status == "timeout"
                 and spec["device"]
                 and remaining() > 1.5 * base_timeout
             ):
@@ -1351,13 +1452,16 @@ def main() -> None:
             alive = True
 
     wedged: list = []
-    for name, spec in sections:
-        if spec.get("flag") and spec["flag"] in args:
-            continue
+    todo = [
+        (n, s) for n, s in sections
+        if not (s.get("flag") and s["flag"] in args)
+    ]
+    for i, (name, spec) in enumerate(todo):
         if spec["device"] and not alive:
             out["sections_skipped"].append(name)
             continue
-        if section(name, spec) == "wedged":
+        nxt = next((n for n, s in todo[i + 1:] if s["device"]), None)
+        if section(name, spec, nxt) == "wedged":
             wedged.append((name, spec))
         emit()  # cumulative line after EVERY section (r4 verdict item 1a)
 
@@ -1374,12 +1478,14 @@ def main() -> None:
             f"{[n for n, _ in wedged]}\n"
         )
         still: list = []
-        for name, spec in wedged:
-            st = section(name, spec)
+        for j, (name, spec) in enumerate(wedged):
+            nxt = next((n for n, _ in wedged[j + 1:]), None)
+            st = section(name, spec, nxt)
             emit()
             if st == "wedged":
                 still.append((name, spec))
         wedged = still
+    _drop_preconn()
     out["sections_wedged"] = [n for n, _ in wedged]
     emit()
 
