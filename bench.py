@@ -1265,7 +1265,12 @@ def main() -> None:
         status = "ok"
         if device:
             # phase 1: wait for INIT_OK (window counts from the child's
-            # spawn, so a pre-connected child's wait already happened)
+            # spawn, so a pre-connected child's wait already happened).
+            # Dial the NEXT section concurrently: when the relay is mostly
+            # wedging, two simultaneous connect attempts double the ticket
+            # rate, and a next-child that lands just holds its connection
+            # idle on stdin.
+            _preconnect(next_name)
             while not h["init"].is_set():
                 if h["proc"].poll() is not None:
                     status = "crash"
@@ -1274,6 +1279,7 @@ def main() -> None:
                         or remaining() - 30 <= 0):
                     status = "init_wedge"
                     break
+                _tend_preconn()
                 time.sleep(0.5)
             if status == "init_wedge":
                 _kill_child(h)
