@@ -1204,42 +1204,65 @@ def main() -> None:
             t.join(timeout=10)
         return "".join(h["err"])
 
-    # Pre-connect pipeline: while the current section MEASURES, a child for
-    # the next section imports + dials in the background (the connect is a
-    # lottery ticket under relay flapping — see run_child), then blocks on
-    # stdin holding its healthy connection idle (zero CPU) until GO.
-    preconn: dict = {"h": None}
+    # Connect pool: the relay's healthy phases come in short windows — when
+    # any section's connect lands, pre-dial the REMAINING sections too (at
+    # most MAX_DIALING importing/dialing at once to bound host CPU), and
+    # every child whose connect lands just blocks on stdin holding its
+    # healthy connection idle (zero CPU, one 4x4 buffer) until its turn.
+    # One good window can then serve the whole bench.
+    pool: dict = {}
+    _MAX_DIALING = 2
 
-    def _preconnect(name) -> None:
-        if name and preconn["h"] is None:
-            sys.stderr.write(f"bench: pre-connecting section {name}\n")
-            preconn["h"] = _spawn_child(name)
+    def _pool_tend(targets) -> None:
+        # drop children for sections no longer wanted; recycle wedged dials;
+        # top dialing slots back up round-robin over the remaining targets
+        for nm in list(pool):
+            h = pool[nm]
+            if nm not in targets:
+                _kill_child(h)
+                _finish_child(h)
+                del pool[nm]
+                continue
+            if h["proc"].poll() is not None and not h["init"].is_set():
+                _finish_child(h)  # died while dialing — slot frees up
+                del pool[nm]
+                continue
+            if (h["proc"].poll() is None and not h["init"].is_set()
+                    and time.monotonic() - h["t0"] >= init_timeout_s):
+                sys.stderr.write(
+                    f"bench: pool connect for {nm} wedged — recycling\n"
+                )
+                _kill_child(h)
+                _finish_child(h)
+                del pool[nm]
+        dialing = sum(
+            1 for h in pool.values() if not h["init"].is_set()
+        )
+        for nm in targets:
+            if dialing >= _MAX_DIALING:
+                break
+            if nm not in pool:
+                sys.stderr.write(f"bench: pool pre-connecting {nm}\n")
+                pool[nm] = _spawn_child(nm)
+                dialing += 1
 
-    def _tend_preconn() -> None:
-        # recycle a pre-connect child whose connect wedged (window expired,
-        # no INIT) — the wait happens while the current section runs, so
-        # these cycles cost no deadline
-        h = preconn["h"]
+    def _pool_take(name):
+        h = pool.pop(name, None)
         if h is None:
-            return
-        if (h["proc"].poll() is None and not h["init"].is_set()
-                and time.monotonic() - h["t0"] >= init_timeout_s):
-            sys.stderr.write(
-                f"bench: pre-connect for {h['name']} wedged — recycling\n"
-            )
-            _kill_child(h)
+            return None, False
+        if h["proc"].poll() is not None:
             _finish_child(h)
-            preconn["h"] = _spawn_child(h["name"])
+            return None, False
+        return h, h["init"].is_set()
 
-    def _drop_preconn() -> None:
-        h = preconn["h"]
-        preconn["h"] = None
-        if h is not None:
+    def _drop_pool() -> None:
+        for nm in list(pool):
+            h = pool.pop(nm)
             _kill_child(h)
             _finish_child(h)
 
     def run_child(name: str, base_timeout: float, device: bool,
-                  next_name=None):
+                  upcoming=()):
         """-> (result|None, stderr, status) with status in
         ok | timeout | init_wedge | crash.
 
@@ -1251,26 +1274,20 @@ def main() -> None:
         children follow the GO protocol: the measurement budget is handed
         down AFTER the connect succeeds, and the next section's child
         starts pre-connecting the moment this one gets GO."""
-        h = None
+        h, was_held = (None, False)
         if device:
-            cand = preconn["h"]
-            if cand is not None and cand["name"] == name:
-                preconn["h"] = None
-                if cand["proc"].poll() is None:
-                    h = cand
-                else:
-                    _finish_child(cand)  # died in the slot — spawn fresh
+            h, was_held = _pool_take(name)
         if h is None:
             h = _spawn_child(name)
         status = "ok"
         if device:
             # phase 1: wait for INIT_OK (window counts from the child's
             # spawn, so a pre-connected child's wait already happened).
-            # Dial the NEXT section concurrently: when the relay is mostly
-            # wedging, two simultaneous connect attempts double the ticket
-            # rate, and a next-child that lands just holds its connection
-            # idle on stdin.
-            _preconnect(next_name)
+            # Dial upcoming sections concurrently: when the relay is
+            # mostly wedging, simultaneous connect attempts multiply the
+            # ticket rate, and children that land just hold their
+            # connections idle on stdin.
+            _pool_tend(upcoming)
             while not h["init"].is_set():
                 if h["proc"].poll() is not None:
                     status = "crash"
@@ -1279,7 +1296,7 @@ def main() -> None:
                         or remaining() - 30 <= 0):
                     status = "init_wedge"
                     break
-                _tend_preconn()
+                _pool_tend(upcoming)
                 time.sleep(0.5)
             if status == "init_wedge":
                 _kill_child(h)
@@ -1306,7 +1323,7 @@ def main() -> None:
             except Exception:
                 _kill_child(h)
                 return None, _finish_child(h), "crash"
-            _preconnect(next_name)
+            _pool_tend(upcoming)
         else:
             budget = min(base_timeout, remaining() - 45)
         t_go = time.monotonic()
@@ -1314,7 +1331,8 @@ def main() -> None:
             if time.monotonic() - t_go >= budget:
                 status = "timeout"
                 break
-            _tend_preconn()
+            if device:
+                _pool_tend(upcoming)
             time.sleep(1.0)
         if status == "timeout":
             _kill_child(h)
@@ -1331,9 +1349,11 @@ def main() -> None:
             f"bench section {name} failed (rc={h['proc'].returncode}):\n"
             + stderr[-1500:] + "\n"
         )
-        return None, stderr, "crash"
+        # a long-held pooled connection may have gone stale — tell the
+        # caller so it retries once with a fresh connect
+        return None, stderr, ("crash_stale" if was_held else "crash")
 
-    def section(name: str, spec: dict, next_name=None) -> str:
+    def section(name: str, spec: dict, upcoming=()) -> str:
         """Fault-isolated section: run it in a SUBPROCESS. A crash, a device
         OOM, or a hang (a wedged remote-relay compile sits inside native
         gRPC where an in-process SIGALRM handler never fires) nulls this
@@ -1359,7 +1379,7 @@ def main() -> None:
                     out["sections_skipped"].append(name)
                     return "skipped"
                 result, stderr, status = run_child(
-                    name, base_timeout, spec["device"], next_name
+                    name, base_timeout, spec["device"], upcoming
                 )
                 # a wedged connect burned only the init window: retry the
                 # connect lottery in a fresh process, not counted against
@@ -1388,6 +1408,11 @@ def main() -> None:
                     f"reclaim (up to {probe_budget:.0f}s)\n"
                 )
                 _wait_for_hbm_reclaim(probe_budget)
+            elif attempt == 0 and status == "crash_stale":
+                sys.stderr.write(
+                    f"bench section {name}: pooled connection was stale — "
+                    "one fresh-connect retry\n"
+                )
             elif (
                 attempt == 0
                 and status == "timeout"
@@ -1466,8 +1491,8 @@ def main() -> None:
         if spec["device"] and not alive:
             out["sections_skipped"].append(name)
             continue
-        nxt = next((n for n, s in todo[i + 1:] if s["device"]), None)
-        if section(name, spec, nxt) == "wedged":
+        upcoming = [n for n, s in todo[i + 1:] if s["device"]]
+        if section(name, spec, upcoming) == "wedged":
             wedged.append((name, spec))
         emit()  # cumulative line after EVERY section (r4 verdict item 1a)
 
@@ -1485,13 +1510,13 @@ def main() -> None:
         )
         still: list = []
         for j, (name, spec) in enumerate(wedged):
-            nxt = next((n for n, _ in wedged[j + 1:]), None)
-            st = section(name, spec, nxt)
+            upcoming = [n for n, _ in wedged[j + 1:]]
+            st = section(name, spec, upcoming)
             emit()
             if st == "wedged":
                 still.append((name, spec))
         wedged = still
-    _drop_preconn()
+    _drop_pool()
     out["sections_wedged"] = [n for n, _ in wedged]
     emit()
 
