@@ -846,13 +846,19 @@ def bench_quality_ordering() -> dict:
     eval — and records the per-family CERs plus the robust verdict
     (transfer helps + every family adapts; the exact family ordering is
     recorded but not asserted — the toy task can't discriminate it,
-    docs/PERFORMANCE.md)."""
+    docs/PERFORMANCE.md).
+
+    Runs on CPU (--cpu): the protocol's verdict is ACCURACY-based (seeded
+    CER improvements), not throughput, so scoring it must not depend on
+    relay weather — on 2026-08-21 the on-chip variant lost the connect
+    lottery all day while the CPU run takes ~5 min on this host. The
+    on-chip protocol remains available via the example itself."""
     budget = float(os.environ.get("JL_BENCH_SECTION_BUDGET_S", "900"))
     r = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "examples", "synthetic_demo.py"),
-         "--compare-adapters", "--outdir", "/tmp/jl_bench_quality"],
+         "--compare-adapters", "--cpu", "--outdir", "/tmp/jl_bench_quality"],
         capture_output=True, text=True, timeout=max(180, budget - 30),
     )
     ordering = None
@@ -958,7 +964,7 @@ _SECTIONS: "list[tuple[str, dict]]" = [
     ("bench_bucketed_rtfx", dict(timeout=900, device=True, flag="--no-bucketed")),
     ("bench_large_v3_adapter", dict(timeout=900, device=True, flag="--no-large")),
     ("bench_large_v3_decode", dict(timeout=900, device=True, flag="--no-large")),
-    ("bench_quality_ordering", dict(timeout=900, device=True, flag="--no-quality")),
+    ("bench_quality_ordering", dict(timeout=900, device=False, flag="--no-quality")),
     ("bench_tpu_tier", dict(timeout=420, device=True, flag="--no-tpu-tier")),
 ]
 _HIDDEN_SECTIONS = {
