@@ -887,31 +887,40 @@ def bench_tpu_tier() -> dict:
     tpu_tier_ok false in the round artifact instead of surfacing as a
     bench-day surprise. The full tier stays available via
     `JL_TPU_TESTS=1 pytest tests/ -m tpu` (tests/test_tpu_tier.py)."""
-    budget = float(os.environ.get("JL_BENCH_SECTION_BUDGET_S", "420"))
     core = (
         "fused_attention_sublayer_lowering or fused_ln_qkv or "
         "(fused_ln_mlp_lowering and tanh) or flash_attention_packed or "
         "fused_head_argmax or grouped_decode_attention or "
         "pallas_frontend or flash_backward"
     )
-    env = dict(os.environ)
-    env["JL_TPU_TESTS"] = "1"
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest",
-         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "tests", "test_tpu_tier.py"),
-         "-q", "-p", "no:cacheprovider", "-k", core],
-        capture_output=True, text=True, env=env,
-        timeout=max(120, budget - 30),
-    )
+    # In-process pytest.main: a pytest SUBPROCESS is its own relay client
+    # and loses the connect lottery independently of this section's
+    # already-validated connection (observed: section INIT_OK, inner pytest
+    # wedged to its timeout). conftest under JL_TPU_TESTS=1 leaves the
+    # platform and compile cache exactly as _setup configured them. The
+    # parent's budget kill bounds a wedged lowering.
+    import contextlib
+    import io
     import re
 
-    m = re.search(r"(\d+) passed", r.stdout)
+    import pytest as _pytest
+
+    os.environ["JL_TPU_TESTS"] = "1"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = _pytest.main(
+            [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "test_tpu_tier.py"),
+             "-q", "-p", "no:cacheprovider", "-k", core]
+        )
+    stdout = buf.getvalue()
+    m = re.search(r"(\d+) passed", stdout)
     passed = int(m.group(1)) if m else 0
+    r = type("R", (), {"returncode": int(rc), "stdout": stdout})()
     if r.returncode != 0 or passed == 0:
         sys.stderr.write(
             f"tpu tier rc={r.returncode} passed={passed}:\n"
-            + r.stdout[-1500:] + "\n" + r.stderr[-500:] + "\n"
+            + r.stdout[-1500:] + "\n"
         )
     # ok requires real passes: an all-skipped run (e.g. backend not 'tpu')
     # must not report green
